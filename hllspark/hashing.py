@@ -68,7 +68,7 @@ def fibonacci_hash(x, b: int = 64) -> np.ndarray:
 
 def clz64(x) -> np.ndarray:
     """Count of leading zeros of uint64 (clz(0) = 64), vectorized."""
-    x = _u64(x)
+    x = np.atleast_1d(_u64(x))
     # view as big-endian byte matrix (n, 8)
     be = x.byteswap().view(np.uint8).reshape(-1, 8)
     nz = be != 0
