@@ -1,0 +1,121 @@
+"""End-to-end Spark tests for the sketch aggregation layer.
+
+Spark-level mirrors of the reference guarantees:
+- estimate within the published 1.04/sqrt(m) envelope vs exact countDistinct;
+- partition-count invariance (merge associativity at scale): byte-identical
+  sketches across repartition(1 / 4 / 16);
+- GROUP BY sketch columns + re-merge to coarser grain;
+- farmhash parity mode == pure-numpy oracle sketch (byte-identical).
+"""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark import agg, hll, sketch
+from hllspark.hashing import farmhash64
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_TEST}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_TEST}/documents.parquet")
+
+
+def test_global_distinct_within_bound(spark, events):
+    p = 12
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    est = agg.approx_distinct(events, "user_id", p=p).first()["distinct_estimate"]
+    assert abs(est - exact) / exact < 3 * hll.error_bound(p)
+
+
+def test_grouped_distinct_within_bound(spark, events):
+    p = 12
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    rows = agg.approx_distinct(events, "user_id", ["event_type"], p=p).collect()
+    assert set(r["event_type"] for r in rows) == set(exact)
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["distinct_estimate"] - e) / e < 3 * hll.error_bound(p)
+
+
+@pytest.mark.parametrize("algo", ["hll", "hlll", "hllzstd"])
+def test_partition_invariance_byte_identical(spark, events, algo):
+    """Merge associativity/commutativity at the plan level: the final
+    serialized sketch must not depend on partitioning (north_star
+    requirement)."""
+    outs = []
+    for parts in (1, 4, 16):
+        sk = agg.sketch_by(
+            events.repartition(parts), "user_id", p=10, algo=algo
+        ).first()["sketch"]
+        outs.append(bytes(sk))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_grouped_sketch_re_merge(spark, events):
+    """Per-day sketches re-merged to a single sketch == direct global sketch
+    (sketch GROUP BY re-aggregation)."""
+    p = 10
+    daily = agg.sketch_by(
+        events.withColumn("day", F.to_date("ts")), "user_id", ["day"], p=p
+    )
+    remerged = agg.merge_sketches(daily).first()["sketch"]
+    direct = agg.sketch_by(events, "user_id", p=p).first()["sketch"]
+    assert bytes(remerged) == bytes(direct)
+
+
+def test_farmhash_parity_vs_numpy_oracle(spark, documents):
+    """farmhash mode: Spark pipeline sketch == pure-numpy sketch built from
+    the same values with the reference hash chain (byte-identical)."""
+    p = 10
+    got = agg.sketch_by(
+        documents.repartition(8), "text", p=p, hash_mode="farmhash", algo="hlll"
+    ).first()["sketch"]
+    texts = [r["text"] for r in documents.select("text").collect()]
+    oracle = hll.build_from_hashes(farmhash64(texts), p)
+    np.testing.assert_array_equal(sketch.decode(bytes(got)), oracle)
+    assert bytes(got) == sketch.encode(oracle, "hlll")
+
+
+def test_salted_equals_unsalted(spark, events):
+    a = agg.sketch_by(events, "user_id", ["event_type"], p=10).collect()
+    b = agg.sketch_by(
+        events, "user_id", ["event_type"], p=10, salt_buckets=4
+    ).collect()
+    da = {r["event_type"]: bytes(r["sketch"]) for r in a}
+    db = {r["event_type"]: bytes(r["sketch"]) for r in b}
+    assert da == db
+
+
+def test_estimate_and_bitsize_columns(spark, events):
+    sk = agg.sketch_by(events, "user_id", ["event_type"], p=8, algo="hlll")
+    out = agg.with_estimate(sk).withColumn(
+        "bits", agg.bit_size_udf(F.col("sketch"))
+    )
+    rows = out.collect()
+    assert all(r["distinct_estimate"] > 0 for r in rows)
+    # HLLL bit size is below the dense 6m bound for every group
+    assert all(r["bits"] < 6 * (1 << 8) for r in rows)
+
+
+def test_cross_check_spark_builtin(spark, events):
+    """Our estimate and Spark's own approx_count_distinct (HLL++) should
+    agree within the combined error envelope — the reference's
+    'compare against apache/zetasketch baselines' role."""
+    p = 12
+    ours = agg.approx_distinct(events, "user_id", p=p).first()["distinct_estimate"]
+    spark_est = events.select(
+        F.approx_count_distinct("user_id", rsd=0.02)
+    ).first()[0]
+    assert abs(ours - spark_est) / spark_est < 0.1
