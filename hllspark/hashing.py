@@ -41,10 +41,6 @@ K2 = U64(0x9AE16A3B2F90404F)
 K_MUL = U64(0x9DDFEA08EB382D69)  # Hash128to64 / Fingerprint multiplier
 FIB = U64(0x9E3779B97F4A7C15)
 
-# 256-entry clz table for bytes (clz8(0) = 8)
-_CLZ8 = np.array([8 if b == 0 else 8 - int(b).bit_length() for b in range(256)], dtype=np.int64)
-
-
 def _u64(x) -> np.ndarray:
     return np.asarray(x, dtype=U64)
 
@@ -67,17 +63,17 @@ def fibonacci_hash(x, b: int = 64) -> np.ndarray:
 
 
 def clz64(x) -> np.ndarray:
-    """Count of leading zeros of uint64 (clz(0) = 64), vectorized."""
+    """Count of leading zeros of uint64 (clz(0) = 64), vectorized and exact.
+
+    Split into 32-bit halves; a uint32 converts to float64 exactly (<= 2^53),
+    so frexp's exponent gives the bit length with no rounding hazard."""
     x = np.atleast_1d(_u64(x))
-    # view as big-endian byte matrix (n, 8)
-    be = x.byteswap().view(np.uint8).reshape(-1, 8)
-    nz = be != 0
-    first = np.argmax(nz, axis=1)  # 0 if all-zero; fixed below
-    any_nz = nz.any(axis=1)
-    byte_at = be[np.arange(be.shape[0]), first]
-    out = first * 8 + _CLZ8[byte_at]
-    out[~any_nz] = 64
-    return out.reshape(np.shape(x))
+    hi = (x >> U64(32)).astype(np.uint32)
+    lo = (x & U64(0xFFFFFFFF)).astype(np.uint32)
+    hi_nz = hi != 0
+    v = np.where(hi_nz, hi, lo).astype(np.float64)
+    e = np.frexp(v)[1]  # bit length; 0 for v == 0
+    return np.where(hi_nz, 32 - e, 64 - e).astype(np.int64)
 
 
 def rho64(x) -> np.ndarray:
@@ -93,6 +89,21 @@ def jr_from_hash(x, p: int) -> tuple[np.ndarray, np.ndarray]:
     x = _u64(x)
     j = fibonacci_hash(x, p).astype(np.int64)
     r = (rho64(x) & 63).astype(np.uint8)  # rho==64 (x==1) wraps to 0, as stored by the reference
+    return j, r
+
+
+def jr_split(x, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Standard disjoint-bits HLL split used by the engine's JVM-hash modes:
+    j = top p bits of the hash, r = clz(hash << p) + 1 masked to 6 bits.
+
+    This is the numpy twin of the pure-Spark-SQL expression in
+    hllspark.agg (shiftrightunsigned / bit-smear / bit_count), so the
+    'sql' and 'pandas' implementations produce byte-identical sketches."""
+    x = _u64(x)
+    with np.errstate(over="ignore"):
+        j = (x >> U64(64 - p)).astype(np.int64)
+        w = x << U64(p)
+    r = ((clz64(w) + 1) & 63).astype(np.uint8)
     return j, r
 
 

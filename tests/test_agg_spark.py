@@ -88,10 +88,32 @@ def test_farmhash_parity_vs_numpy_oracle(spark, documents):
     assert bytes(got) == sketch.encode(oracle, "hlll")
 
 
+def test_sql_and_pandas_impls_byte_identical(spark, events):
+    """The codegen'd SQL plan and the Arrow/pandas plan are two physical
+    strategies for the same logical aggregate — sketches must match byte
+    for byte (they share hashing.jr_split / its SQL twin)."""
+    for keys in (None, ["event_type"]):
+        a = agg.sketch_by(events, "user_id", keys, p=11, impl="sql").collect()
+        b = agg.sketch_by(events, "user_id", keys, p=11, impl="pandas").collect()
+        ka = {tuple(r[k] for k in keys or []): bytes(r["sketch"]) for r in a}
+        kb = {tuple(r[k] for k in keys or []): bytes(r["sketch"]) for r in b}
+        assert ka == kb
+
+
+def test_pandas_impl_partition_invariance(spark, events):
+    outs = []
+    for parts in (1, 4, 16):
+        sk = agg.sketch_by(
+            events.repartition(parts), "user_id", p=10, impl="pandas"
+        ).first()["sketch"]
+        outs.append(bytes(sk))
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_salted_equals_unsalted(spark, events):
-    a = agg.sketch_by(events, "user_id", ["event_type"], p=10).collect()
+    a = agg.sketch_by(events, "user_id", ["event_type"], p=10, impl="pandas").collect()
     b = agg.sketch_by(
-        events, "user_id", ["event_type"], p=10, salt_buckets=4
+        events, "user_id", ["event_type"], p=10, impl="pandas", salt_buckets=4
     ).collect()
     da = {r["event_type"]: bytes(r["sketch"]) for r in a}
     db = {r["event_type"]: bytes(r["sketch"]) for r in b}
