@@ -142,8 +142,186 @@ def _q_hll_linear_counting_exact_small(spark: SparkSession, sf: str) -> DataFram
     )
 
 
+# --- text / dedup / similarity operator queries ---------------------------
+
+
+def _q_text_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", htext.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def _q_text_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+            F.round(F.avg(htext.token_count(F.col("text"))), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_exact_dedup_group_count(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import dedup
+
+    docs = _t(spark, sf, "documents")
+    return dedup.exact_duplicates(docs).agg(
+        F.count(F.lit(1)).alias("dup_groups")
+    )
+
+
+def _q_word_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import dedup
+
+    docs = _t(spark, sf, "documents")
+    pairs = (
+        docs.where(F.col("doc_id") < 12)
+        .select(F.col("doc_id").alias("id_a"))
+        .crossJoin(
+            docs.where(F.col("doc_id") < 12).select(F.col("doc_id").alias("id_b"))
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        dedup.ngram_jaccard(pairs, docs, k=1)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_shingle3_distinct_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    ex = htext.explode_shingles(docs, "text", k=3)
+    return (
+        ex.groupBy("lang")
+        .agg(F.countDistinct("shingle").alias("distinct_shingles"))
+        .orderBy("lang")
+    )
+
+
+def _q_hll_shingles_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    ex = htext.explode_shingles(docs, "text", k=3)
+    est = agg.approx_distinct(ex, "shingle", ["lang"], p=_P)
+    exact = ex.groupBy("lang").agg(F.countDistinct("shingle").alias("exact"))
+    return _within_bound(est, exact, "lang")
+
+
+def _q_cosine_top3(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        similarity.brute_force_top_k(emb, queries_df, k=3)
+        .select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q_cosine_top1_is_self(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top1 = similarity.brute_force_top_k(emb, queries_df, k=1)
+    return top1.select(
+        "query_id",
+        (F.col("vec_id") == F.col("query_id")).cast("int").alias("is_self"),
+    ).orderBy("query_id")
+
+
+def _q_lang_id_markers(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in the house"),
+            (1, "der Hund und die Katze ist das Tier"),
+            (2, "le chat et la maison les arbres des fleurs"),
+            (3, "zzzz qqqq xxxx"),
+        ],
+        "sample_id int, sample string",
+    )
+    return df.select(
+        "sample_id", htext.lang_id(F.col("sample")).alias("lang_pred")
+    ).orderBy("sample_id")
+
+
+def _q_simhash_self_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import dedup
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
+    sh = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+            .cast("int")
+            .alias("self_hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_minhash_lsh_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import dedup
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return (
+        dedup.minhash_near_duplicates(docs, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_farmhash_golden(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference hash parity inside the oracle gate: farmhash::Hash64 of the
+    reference's own golden inputs (test.cpp:428-437), as signed int64."""
+    from hllspark import text as htext
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "a"), (2, "qwerty"), (3, "asdf"), (4, "Hamburgevons")],
+        "i int, s string",
+    )
+    fp = htext.farmhash_fingerprint_udf()
+    return df.select("i", fp(F.col("s")).alias("h")).orderBy("i")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_token_counts": _q_text_token_counts,
+        "text_stats_by_lang": _q_text_stats_by_lang,
+        "exact_dedup_group_count": _q_exact_dedup_group_count,
+        "word_jaccard_pairs": _q_word_jaccard_pairs,
+        "shingle3_distinct_by_lang": _q_shingle3_distinct_by_lang,
+        "hll_shingles_within_bound": _q_hll_shingles_within_bound,
+        "cosine_top3": _q_cosine_top3,
+        "cosine_top1_is_self": _q_cosine_top1_is_self,
+        "lang_id_markers": _q_lang_id_markers,
+        "simhash_self_hamming": _q_simhash_self_hamming,
+        "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
+        "farmhash_golden": _q_farmhash_golden,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "exact_distinct_docs_by_lang": _q_exact_distinct_docs_by_lang,
         "hll_users_by_type_estimate": _q_hll_users_by_type_estimate,
@@ -156,7 +334,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    _goldens_i64 = {  # reference farmhash goldens (test.cpp:428-432) as int64
+        "": 0x826E8074D1FA8DEF - (1 << 64),
+        "a": 0x06756523D617D714,
+        "qwerty": 0xF0615CBF0F4109A7 - (1 << 64),
+        "asdf": 0xCD80A1A405A2802A - (1 << 64),
+        "Hamburgevons": 0x3A0EDE9A0A12FE52,
+    }
+    golden_rows = ", ".join(
+        f"({i}, {v})" for i, v in enumerate(_goldens_i64.values())
+    )
     return {
+        "text_token_counts": (
+            "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS n_tokens FROM documents ORDER BY doc_id"
+        ),
+        "text_stats_by_lang": (
+            "SELECT lang, count(*) AS n_docs, "
+            "round(avg(length(text)), 4) AS avg_chars, "
+            "round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) "
+            "AS avg_tokens FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "exact_dedup_group_count": (
+            "SELECT count(*) AS dup_groups FROM ("
+            "SELECT lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1)"
+        ),
+        "word_jaccard_pairs": (
+            "WITH w AS (SELECT doc_id, list_distinct(regexp_split_to_array("
+            "trim(text), '\\s+')) AS ws FROM documents WHERE doc_id < 12) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(len(list_intersect(a.ws, b.ws)) * 1.0 / "
+            "len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard "
+            "FROM w a, w b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b"
+        ),
+        "shingle3_distinct_by_lang": (
+            "WITH g AS (SELECT lang, unnest([array_to_string(w[i:i+2], ' ') "
+            "for i in range(1, len(w) - 1)]) AS shingle FROM (SELECT lang, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)) "
+            "SELECT lang, count(DISTINCT shingle) AS distinct_shingles "
+            "FROM g GROUP BY lang ORDER BY lang"
+        ),
+        "hll_shingles_within_bound": (
+            "SELECT lang, 1 AS within_bound FROM documents "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "cosine_top3": (
+            "SELECT a.vec_id AS query_id, b.vec_id, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < 3 "
+            "QUALIFY rank <= 3 ORDER BY query_id, rank"
+        ),
+        "cosine_top1_is_self": (
+            "SELECT vec_id AS query_id, 1 AS is_self FROM embeddings "
+            "WHERE vec_id < 5 ORDER BY query_id"
+        ),
+        "lang_id_markers": (
+            "SELECT * FROM (VALUES (0, 'en'), (1, 'de'), (2, 'fr'), "
+            "(3, 'und')) t(sample_id, lang_pred) ORDER BY sample_id"
+        ),
+        "simhash_self_hamming": (
+            "SELECT doc_id, 0 AS self_hamming FROM documents "
+            "WHERE doc_id < 50 ORDER BY doc_id"
+        ),
+        # minhash_lsh_near_dups: rows-only (LSH recall is probabilistic)
+        "farmhash_golden": (
+            f"SELECT * FROM (VALUES {golden_rows}) t(i, h) ORDER BY i"
+        ),
         "exact_distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS distinct_users "
             "FROM events GROUP BY event_type ORDER BY event_type"

@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All plans are shuffle-conscious:
+- exact dedup         : hash-groupBy on a 64-bit content fingerprint (one
+                        shuffle of (fingerprint, id) pairs, never raw text).
+- minhash + LSH       : shingle -> minhash signature (pure SQL aggregate) ->
+                        band buckets -> self-join within buckets only
+                        (classic LSH: candidate pairs ~ O(similar pairs),
+                        not O(n^2)).
+- simhash             : 64-bit simhash from token hashes (pure SQL bit ops),
+                        near-dup = same value in rotated prefix buckets or
+                        hamming distance <= k on candidates.
+- n-gram jaccard      : exact verification operator for candidate pairs.
+- embedding cosine    : see hllspark.similarity (near_duplicates_by_cosine).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .text import content_fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: returns
+    (fingerprint, n_copies, doc_ids array) for groups with > 1 member.
+    Shuffles only (fingerprint, id)."""
+    fp = df.select(
+        content_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col)
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def deduplicate_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per identical-content group.
+    Window over fingerprint — a single hash-partitioned shuffle."""
+    w = Window.partitionBy(content_fingerprint(F.col(text_col))).orderBy(
+        F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text, k: int = 3, num_hashes: int = 64, seed: int = 7
+):
+    """num_hashes-wide MinHash signature as array<bigint>, entirely in SQL:
+    per permutation i, min over shingles of xxhash64(shingle, seed+i).
+    Documents with no shingles get an empty signature."""
+    grams = shingles(text, k)
+    return F.when(F.size(grams) < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(grams, lambda g: F.xxhash64(g, i + F.lit(seed)))
+            ),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows = num_hashes / bands hashes per band; two docs collide if any band
+    of their signatures is identical.  Plan: explode to (band_id,
+    band_hash, id) -> groupBy bucket -> pairs within bucket.  The self-join
+    is on (band_id, band_hash) — co-partitioned, no broadcast of the corpus.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), k, num_hashes, seed).alias("__sig")
+    ).where(F.size("__sig") > 0)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows + 1, rows),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity for candidate pairs — the
+    verification stage after LSH.  Joins the (small) pair list against the
+    corpus twice, then set arithmetic on shingle arrays."""
+    g = docs.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("__g")
+    )
+    out = (
+        pairs.join(g.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "ga"), "id_a")
+        .join(g.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "gb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact jaccard filter."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands, seed)
+    return ngram_jaccard(cand, df, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text, seed: int = 11):
+    """64-bit SimHash of the whitespace tokens, pure SQL: for each bit b,
+    the sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1)."""
+    words = F.split(F.trim(text), r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
+
+    def bit(b):  # b: Column bit index
+        return F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def half(hi, lo):  # MSB-first acc*2+bit: fits 32 bits, no ANSI overflow
+        return F.aggregate(
+            F.sequence(F.lit(hi), F.lit(lo), F.lit(-1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + bit(b),
+        )
+
+    return F.shiftleft(half(63, 32), 32).bitwiseOR(half(31, 0))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket by 4 x 16-bit chunks (any pair
+    within hamming distance 3 shares at least one identical chunk —
+    pigeonhole), then verify hamming distance on candidates. Self-join is
+    chunk-co-partitioned."""
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), seed).alias("__sh"))
+    chunks = sh.select(
+        id_col,
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("__sh"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "__sh", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__sh").alias("sha"),
+            F.col("r.__sh").alias("shb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

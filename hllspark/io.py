@@ -1,0 +1,197 @@
+"""Data fixtures + checkpoint/resume (snapshot-commit emulation).
+
+``generate_pages`` builds the Common-Crawl-style pages table from
+BASELINE.json input_hint — (url string, warc_ts timestamp, html binary,
+text string, lang string) — as a deterministic pure function of row id,
+entirely in Spark SQL expressions (no Python, no RNG state): the same
+(n_rows, seed) always yields byte-identical rows on any partitioning, which
+is what lets correctness tests pin exact distinct counts and lets the
+scaling protocol claim "same input" across parallelism levels.
+
+Properties (mirrors /root/repo/FIXTURES.md §1 and the reference input
+generator's role, inputgenerator.cpp:31-99):
+- exact true distinct-url count = min(n_rows, n_distinct) (duplicates are
+  id % n_distinct collisions);
+- url host is power-law skewed over n_hosts synthetic hosts (hot-key
+  fixture for salting), path is the base-36 url id;
+- lang is skewed categorical (en-heavy);
+- text is a deterministic token sequence derived from the url id; html is
+  an exact wrapper of text, so extract_text(html) == text byte-identically
+  (the input_hint per-row invariant);
+- warc_ts is uniform over a 30-day window (per-day GROUP BY fixture).
+
+``SnapshotWriter``/``resume_remaining`` emulate the Iceberg
+snapshot-commit + resume-without-rescan semantics with parquet plus an
+atomic JSON manifest (Iceberg jars are unavailable in this sandbox; the
+seam is documented so a real catalog is a config swap).  The reference
+analogue is experiments.py:243-246 (skip instances whose .hdf5 exists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_LANGS = [("en", 60), ("de", 12), ("fr", 10), ("fi", 8), ("es", 6), ("ja", 4)]
+_VOCAB = [
+    "data", "spark", "query", "table", "row", "column", "hash", "sketch",
+    "count", "merge", "batch", "stream", "page", "crawl", "web", "text",
+    "index", "shard", "byte", "word", "value", "key", "scan", "join",
+    "group", "order", "window", "filter", "range", "array", "map", "list",
+]
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_rows: int,
+    n_distinct: int | None = None,
+    n_hosts: int = 1000,
+    seed: int = 42,
+    num_partitions: int = 128,
+    start_ts: str = "2024-06-01 00:00:00",
+) -> DataFrame:
+    """Deterministic pages DataFrame; a pure function of (args)."""
+    n_distinct = n_distinct or max(1, int(n_rows * 0.8))
+    df = spark.range(n_rows, numPartitions=num_partitions)
+    uid = F.col("id") % F.lit(n_distinct)  # url id; distinct = min(n_rows, n_distinct)
+    h1 = F.xxhash64(uid, F.lit(seed))
+    # uniform [0,1) from the hash's low 30 bits
+    u = (F.pmod(h1, F.lit(1 << 30))).cast("double") / F.lit(float(1 << 30))
+    host = F.floor(F.lit(float(n_hosts)) * F.pow(u, F.lit(3.0))).cast("long")
+    lang = _categorical(u * 997 % 1.0, _LANGS)
+    n_tok = (F.pmod(F.xxhash64(uid, F.lit(seed + 1)), F.lit(196)) + 5).cast("int")
+    token = lambda i: F.element_at(
+        F.lit(_VOCAB), (F.pmod(F.xxhash64(uid, F.lit(seed + 2) + i), F.lit(32)) + 1).cast("int")
+    )
+    words = F.transform(F.sequence(F.lit(1), n_tok), lambda i: token(i))
+    text = F.concat(F.array_join(words, " "), F.lit(" ["), lang, F.lit("]"))
+    url = F.concat(
+        F.lit("https://host"),
+        host.cast("string"),
+        F.lit(".example.com/"),
+        F.conv(uid.cast("string"), 10, 36),
+    )
+    ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit(start_ts).cast("timestamp"))
+        + F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 3)), F.lit(30 * 86400))
+    )
+    html = F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")).cast(
+        "binary"
+    )
+    return df.select(
+        url.alias("url"),
+        ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+def _categorical(u, weighted: list[tuple[str, int]]):
+    total = sum(w for _, w in weighted)
+    expr = None
+    acc = 0
+    for name, w in weighted[:-1]:
+        acc += w
+        cond = u < F.lit(acc / total)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(weighted[-1][0])
+
+
+def write_pages(
+    spark: SparkSession, path: str, n_rows: int, **kw
+) -> str:
+    """Materialize the fixture once (idempotent by marker file)."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_pages(spark, n_rows, **kw).write.mode("overwrite").parquet(path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-commit + resume (Iceberg-emulation seam)
+# ---------------------------------------------------------------------------
+
+class SnapshotWriter:
+    """Committed, resumable sketch-checkpoint table.
+
+    Layout:
+        <root>/data/part=<unit_id>/...parquet   (task-atomic parquet writes)
+        <root>/_snapshots/<n>.json              (manifest: committed units,
+                                                 lineage + metrics per unit)
+
+    A "unit" is a caller-defined slice of input (e.g. a partition range or a
+    date).  ``commit`` appends a new manifest atomically (write temp +
+    rename), so readers always see a consistent snapshot; a killed job
+    re-runs only units absent from the latest manifest
+    (``resume_remaining``), without re-scanning completed input — the
+    north_rule checkpoint/lineage requirement.  With a real Iceberg catalog
+    this class collapses to `df.writeTo(table).append()` + snapshot reads.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    def _manifests(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.snap_dir) if f.endswith(".json")
+        )
+
+    def latest_manifest(self) -> dict:
+        ms = self._manifests()
+        if not ms:
+            return {"snapshot": 0, "units": {}}
+        with open(os.path.join(self.snap_dir, ms[-1])) as fh:
+            return json.load(fh)
+
+    def committed_units(self) -> set[str]:
+        return set(self.latest_manifest()["units"])
+
+    def unit_path(self, unit_id: str) -> str:
+        return os.path.join(self.root, "data", f"unit={unit_id}")
+
+    def write_unit(
+        self, df: DataFrame, unit_id: str, lineage: dict | None = None
+    ) -> dict:
+        """Write one unit's rows then commit it to a new snapshot. The
+        parquet write is to a unit-scoped directory; the commit (manifest
+        append) is atomic, so a crash mid-write leaves the unit uncommitted
+        and it will simply be re-run on resume."""
+        t0 = time.time()
+        path = self.unit_path(unit_id)
+        df.write.mode("overwrite").parquet(path)
+        meta = {
+            "path": path,
+            "lineage": lineage or {},
+            "committed_at": time.time(),
+            "write_seconds": round(time.time() - t0, 3),
+        }
+        manifest = self.latest_manifest()
+        manifest["snapshot"] += 1
+        manifest["units"][unit_id] = meta
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{manifest['snapshot']:010d}.json"))
+        return meta
+
+    def read_committed(self, spark: SparkSession) -> DataFrame | None:
+        units = self.latest_manifest()["units"]
+        if not units:
+            return None
+        paths = [m["path"] for m in units.values()]
+        return spark.read.parquet(*paths)
+
+
+def resume_remaining(writer: SnapshotWriter, all_units: list[str]) -> list[str]:
+    """Units still to process after a restart (anti-join against the last
+    committed snapshot — no input re-scan)."""
+    done = writer.committed_units()
+    return [u for u in all_units if u not in done]

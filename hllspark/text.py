@@ -1,0 +1,186 @@
+"""Text operators for the web-pages pipeline: extraction, shingling, and
+training-data text analysis (language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is either a native Spark SQL expression (preferred — stays
+in whole-stage codegen) or a vectorized Arrow-batch function used inside
+mapInPandas (never per-row Python).
+
+The html->text extraction satisfies the input_hint per-row invariant:
+extract_text(html) is byte-identical to the pages fixture's text column
+(hllspark.io.generate_pages wraps text as <html><body>...</body></html>).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .hashing import farmhash64
+
+# ---------------------------------------------------------------------------
+# extraction
+# ---------------------------------------------------------------------------
+
+def extract_text(html: Column) -> Column:
+    """Deterministic text extraction from the html binary column (JVM-side):
+    strip the <html><body> wrapper; a stand-in for a real boilerplate
+    stripper with an exactly-testable contract (byte-identical to the
+    generator's text)."""
+    s = html.cast("string")
+    return F.regexp_replace(s, r"^<html><body>|</body></html>$", "")
+
+
+# ---------------------------------------------------------------------------
+# shingling (for distinct-shingle cardinality + minhash dedup)
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> column — pure SQL: split on
+    whitespace, then a sliding window via transform over index range.
+    Deterministic per text value."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words) - F.lit(k - 1)
+    # sequence(1, n) is DESCENDING for n < 1 — guard with an empty array
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+def explode_shingles(df: DataFrame, text_col: str = "text", k: int = 3,
+                     out_col: str = "shingle") -> DataFrame:
+    return df.withColumn(out_col, F.explode(shingles(F.col(text_col), k)))
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (JVM)."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavored upper-bound token count: words + digit runs +
+    punctuation marks each count separately (regexp, JVM-side)."""
+    pieces = F.split(text, r"(?=[^\w\s])|(?<=[^\w\s])|\s+")
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "this", "that", "be", "are",
+]
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features, all JVM expressions.
+    Adds: n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
+    quality_score (a simple monotone combination in [0, 1])."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(_STOPWORDS))
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0)
+    mean_wl = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(0.0)
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", punct_ratio.cast("double"))
+        .withColumn("stopword_ratio", stop_ratio.cast("double"))
+        .withColumn("mean_word_len", mean_wl.cast("double"))
+        .withColumn("quality_score", score.cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    # distinctive frequent words / character patterns per language
+    "en": [" the ", " and ", " of ", " is ", " to "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " los ", " que ", " y ", " las "],
+    "fi": ["ä", "ö", " ja ", " on ", " ei "],
+    "ja": ["の", "は", "を", "に", "た"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-vote language ID, pure SQL: count marker occurrences per
+    language, return the argmax (ties -> lexicographically first marker
+    set order; 'und' when no marker hits)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for mk in markers:
+            # occurrences of mk = (len(text) - len(replace(text, mk))) / len(mk)
+            occ = (F.length(padded) - F.length(F.replace(padded, F.lit(mk), F.lit("")))) / F.lit(
+                len(mk)
+            )
+            s = occ if s is None else s + occ
+        scores.append(F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling / content hashes)
+# ---------------------------------------------------------------------------
+
+def content_fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint (JVM xxhash64 of the normalized text)."""
+    normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def farmhash_fingerprint_udf():
+    """Reference-parity fingerprint: farmhash::Hash64 of the raw text
+    (vectorized Arrow batches; use when byte-parity with the reference hash
+    chain matters)."""
+
+    def _fp(s: pd.Series) -> pd.Series:
+        return pd.Series(farmhash64(s.fillna("").to_numpy(dtype=object)).view(np.int64))
+
+    return F.pandas_udf(_fp, "long")
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash every
+    k-gram (word level), then keep the minimum hash of each sliding window —
+    returns array<bigint> of selected fingerprints.  Pure SQL."""
+    grams = shingles(text, k)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_win = F.size(hashes) - F.lit(window - 1)
+    mins = F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    return F.array_distinct(mins)

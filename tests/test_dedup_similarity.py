@@ -1,0 +1,174 @@
+"""Tests for dedup, similarity, and multimodal operator families, oracle-
+checked against exact computations on the driver test tables."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark import dedup, multimodal, similarity
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    # add exact duplicates + near duplicates with known ids
+    dup = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extraword")))
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TEST}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    pairs = {(ids[0], ids[1]) for r in groups for ids in [r["doc_ids"]] if len(ids) == 2}
+    for i in range(5):
+        assert (i, i + 100000) in pairs
+    assert all(r["n_copies"] == 2 for r in groups)
+
+
+def test_deduplicate_exact_keeps_one(spark, docs):
+    n_before = docs.count()
+    dd = dedup.deduplicate_exact(docs)
+    assert dd.count() == n_before - 5
+    # representative is the min id
+    kept = {r["doc_id"] for r in dd.select("doc_id").collect()}
+    assert all(i in kept and i + 100000 not in kept for i in range(5))
+
+
+def test_minhash_near_duplicates(spark, docs):
+    nd = dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in nd}
+    # exact copies similarity 1.0 and near copies must both be found
+    for i in range(5):
+        assert (i, i + 100000) in found, f"exact dup {i} missed"
+        assert (i, i + 200000) in found, f"near dup {i} missed"
+    # jaccard of exact copies is 1.0
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in nd}
+    for i in range(5):
+        assert j[(i, i + 100000)] == 1.0
+
+
+def test_minhash_jaccard_against_exact(spark, docs):
+    """LSH+jaccard's jaccard values equal exact set jaccard computed
+    independently in python."""
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+    nd = dedup.ngram_jaccard(
+        spark.createDataFrame(
+            [(a, b) for a in sample for b in sample if a < b], "id_a long, id_b long"
+        ),
+        docs,
+        k=3,
+    ).collect()
+
+    def jac(a, b):
+        ga = {" ".join(a.split()[i : i + 3]) for i in range(len(a.split()) - 2)}
+        gb = {" ".join(b.split()[i : i + 3]) for i in range(len(b.split()) - 2)}
+        return len(ga & gb) / len(ga | gb) if ga | gb else 0.0
+
+    for r in nd:
+        if r["id_a"] in sample and r["id_b"] in sample:
+            expect = jac(sample[r["id_a"]], sample[r["id_b"]])
+            assert abs(r["jaccard"] - expect) < 1e-9
+
+
+def test_simhash_near_duplicates(spark, docs):
+    nd = dedup.simhash_near_duplicates(docs, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in nd}
+    for i in range(5):
+        assert (i, i + 100000) in found  # identical text -> hamming 0
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in nd}
+    assert all(hams[(i, i + 100000)] == 0 for i in range(5))
+
+
+def test_brute_force_top_k_matches_numpy(spark, emb):
+    corpus = emb.limit(200).cache()
+    queries = corpus.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = similarity.brute_force_top_k(corpus, queries, k=5).collect()
+    # numpy oracle
+    rows = corpus.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    qrows = [r for r in rows if r["vec_id"] in {q["query_id"] for q in queries.collect()}]
+    for q in qrows:
+        qv = np.array(q["embedding"], dtype=np.float64)
+        cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        expect = list(ids[order])
+        mine = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in got if r["query_id"] == q["vec_id"]),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert mine == expect
+        # top-1 is the query itself (cosine 1.0)
+        assert mine[0] == q["vec_id"]
+
+
+def test_lsh_top_k_recall(spark, emb):
+    corpus = emb.limit(500).cache()
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(corpus.first()["embedding"])
+    exact = similarity.brute_force_top_k(corpus, queries, k=5).collect()
+    approx = similarity.lsh_top_k(corpus, queries, dim=dim, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # the query vector itself must always be recalled (identical signature)
+    for qid, s in exact_sets.items():
+        assert qid in approx_sets.get(qid, set())
+    # overall recall is reasonable for sign-LSH at these settings
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_embedding_near_duplicates(spark, emb):
+    # inject a known near-pair: vec + tiny perturbation
+    base = emb.limit(50)
+    twin = base.limit(1).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.0001).alias("embedding"),
+        F.col("label"),
+    )
+    df = base.unionByName(twin)
+    dim = len(base.first()["embedding"])
+    nd = similarity.near_duplicates_by_cosine(df, dim=dim, threshold=0.99).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in nd}
+    first_id = base.first()["vec_id"]
+    assert (first_id, first_id + 10000) in pairs
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, 60)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 60
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic decode
+    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in feats)
+    # frame sampling plan
+    plan = multimodal.frame_sample_plan(media, every_n=50)
+    rows = plan.collect()
+    assert all(r["frame_idx"] % 50 == 0 for r in rows)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decoder="real")

@@ -1,0 +1,150 @@
+"""Tests for the pages fixture generator, extraction invariant, text
+operators, and snapshot/resume checkpointing."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark import agg, io as hio, text as htext
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return hio.generate_pages(spark, 20_000, n_distinct=15_000, num_partitions=8).cache()
+
+
+def test_pages_deterministic(spark):
+    a = hio.generate_pages(spark, 500, n_distinct=400, num_partitions=2).collect()
+    b = hio.generate_pages(spark, 500, n_distinct=400, num_partitions=7).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_pages_schema_and_distincts(spark, pages):
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    assert dict(pages.dtypes)["html"] == "binary"
+    assert dict(pages.dtypes)["warc_ts"] == "timestamp"
+    # exact true distinct url count is pinned by construction
+    assert pages.select(F.countDistinct("url")).first()[0] == 15_000
+    langs = {r["lang"] for r in pages.select("lang").distinct().collect()}
+    assert "en" in langs and len(langs) >= 4
+
+
+def test_extraction_invariant_byte_identical(spark, pages):
+    """input_hint: per-row extracted text byte-identical."""
+    bad = pages.where(htext.extract_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_lang_skew_present(spark, pages):
+    counts = {r["lang"]: r["count"] for r in pages.groupBy("lang").count().collect()}
+    assert counts["en"] > sum(v for k, v in counts.items() if k != "en")  # hot key
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("",)], "text string")
+    rows = df.select(htext.shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []
+    assert rows[2]["s"] == []
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("a, b! c?",), ("",)], "text string"
+    )
+    rows = df.select(
+        htext.token_count(F.col("text")).alias("t"),
+        htext.bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()
+    assert rows[0]["t"] == 2 and rows[0]["b"] == 2
+    assert rows[1]["t"] == 3 and rows[1]["b"] == 6  # a , b ! c ?
+    assert rows[2]["t"] == 0
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog run to the field",),
+         ("!!! ??? ... ###",)],
+        "text string",
+    )
+    rows = htext.quality_features(df).collect()
+    good, junk = rows[0], rows[1]
+    assert good["stopword_ratio"] > 0.2
+    assert junk["punct_ratio"] > 0.5
+    assert good["quality_score"] > junk["quality_score"]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der Hund und die Katze ist das Tier",),
+            ("le chat et la maison les arbres des fleurs",),
+            ("zzzz qqqq",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(htext.lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different text",)],
+        "text string",
+    )
+    fps = [r[0] for r in df.select(htext.content_fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]  # normalization: case + whitespace
+    assert fps[0] != fps[2]
+    w = df.select(htext.winnow_fingerprints(F.col("text"), k=1, window=2).alias("w")).collect()
+    assert len(w[0]["w"]) >= 1
+
+
+def test_distinct_shingles_per_lang(spark, pages):
+    """The north_star flagship query shape: distinct text shingles per lang
+    via sketches, within bound of exact."""
+    ex = htext.explode_shingles(pages, "text", k=3)
+    est = {
+        r["lang"]: r["distinct_estimate"]
+        for r in agg.approx_distinct(ex, "shingle", ["lang"], p=12).collect()
+    }
+    exact = {
+        r["lang"]: r["cnt"]
+        for r in ex.groupBy("lang")
+        .agg(F.countDistinct("shingle").alias("cnt"))
+        .collect()
+    }
+    for lang, e in exact.items():
+        assert abs(est[lang] - e) / e < 3 * 1.04 / 64, lang
+
+
+def test_snapshot_resume(spark, tmp_path, pages):
+    """Kill-and-resume: only uncommitted units re-run; merged result equals
+    a direct full build (north_rule checkpoint/lineage)."""
+    root = str(tmp_path / "ckpt")
+    w = hio.SnapshotWriter(root)
+    with_day = pages.withColumn("day", F.dayofmonth("warc_ts"))
+    units = [str(d) for d in range(1, 31)]
+
+    def run_unit(u):
+        sk = agg.sketch_by(with_day.where(F.col("day") == int(u)), "url", p=10)
+        w.write_unit(sk, u, lineage={"day": u, "source": "pages-fixture"})
+
+    # simulate first run dying after 10 units
+    for u in units[:10]:
+        run_unit(u)
+    assert len(w.committed_units()) == 10
+    # resume: exactly the remaining 20 units
+    remaining = hio.resume_remaining(w, units)
+    assert len(remaining) == 20 and set(remaining).isdisjoint(w.committed_units())
+    for u in remaining:
+        run_unit(u)
+    # merged checkpointed sketches == direct global sketch
+    merged = agg.merge_sketches(w.read_committed(spark)).first()["sketch"]
+    direct = agg.sketch_by(pages, "url", p=10).first()["sketch"]
+    assert bytes(merged) == bytes(direct)
+    # lineage recorded
+    meta = w.latest_manifest()["units"]["5"]
+    assert meta["lineage"]["day"] == "5" and "committed_at" in meta
