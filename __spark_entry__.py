@@ -308,8 +308,98 @@ def _q_farmhash_golden(spark: SparkSession, sf: str) -> DataFrame:
     return df.select("i", fp(F.col("s")).alias("h")).orderBy("i")
 
 
+# --- extended sketch family (count-min / bloom / kll / t-digest) -----------
+
+
+def _q_tdigest_median_within_tol(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark.sketches import generic, tdigest
+
+    ev = _t(spark, sf, "events")
+    sk = generic.sketch_agg(ev, "value", tdigest.kind(100), keys=["event_type"])
+    med = generic.query_udf(lambda b: tdigest.decode(b).quantile(0.5), "double")
+    est = sk.select("event_type", med(F.col("sketch")).alias("est_median"))
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
+        (F.expr("percentile(value, 0.99)") - F.expr("percentile(value, 0.01)")).alias(
+            "spread"
+        ),
+    )
+    j = est.join(exact, "event_type")
+    return j.select(
+        "event_type",
+        (
+            F.abs(F.col("est_median") - F.col("exact_median"))
+            <= F.greatest(F.col("spread") * 0.05, F.lit(0.5))
+        )
+        .cast("int")
+        .alias("median_ok"),
+    ).orderBy("event_type")
+
+
+def _q_kll_rank_error(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark.sketches import generic, kll
+
+    ev = _t(spark, sf, "events")
+    sk = generic.sketch_agg(ev, "value", kll.kind(200)).first()["sketch"]
+    s = kll.decode(bytes(sk))
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est_vals = s.quantile(qs)
+    n = ev.count()
+    rows = []
+    for q, v in zip(qs, est_vals):
+        true_rank = ev.where(F.col("value") <= float(v)).count() / n
+        rows.append((float(q), int(abs(true_rank - q) < 0.03)))
+    return spark.createDataFrame(rows, "q double, rank_ok int").orderBy("q")
+
+
+def _q_countmin_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark.sketches import countmin, generic
+
+    ev = _t(spark, sf, "events")
+    width, depth = 2053, 5
+    sk = generic.sketch_agg(ev, "user_id", countmin.kind(width, depth)).first()[
+        "sketch"
+    ]
+    cm = countmin.decode(bytes(sk))
+    import numpy as np
+
+    truth = {
+        r["user_id"]: r["cnt"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    ids = sorted(truth)[:25]
+    n = sum(truth.values())
+    est = countmin.point_estimate(cm, np.array(ids, dtype=np.int64))
+    rows = [
+        (int(uid), int(truth[uid] <= e <= truth[uid] + 3 * np.e / width * n))
+        for uid, e in zip(ids, est)
+    ]
+    return spark.createDataFrame(rows, "user_id long, count_ok int").orderBy("user_id")
+
+
+def _q_bloom_no_false_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark.sketches import bloom, generic
+
+    ev = _t(spark, sf, "events")
+    import numpy as np
+
+    n_users = ev.select(F.countDistinct("user_id")).first()[0]
+    m, kh = bloom.params_for(max(n_users, 1), 0.01)
+    sk = generic.sketch_agg(ev, "user_id", bloom.kind(m, kh)).first()["sketch"]
+    bits, k2 = bloom.decode(bytes(sk))
+    users = np.array(
+        [r[0] for r in ev.select("user_id").distinct().collect()], dtype=np.int64
+    )
+    ok = bool(bloom.might_contain(bits, users, k2).all())
+    return spark.createDataFrame([(int(ok),)], "no_false_negatives int")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "tdigest_median_within_tol": _q_tdigest_median_within_tol,
+        "kll_rank_error": _q_kll_rank_error,
+        "countmin_bounds": _q_countmin_bounds,
+        "bloom_no_false_negatives": _q_bloom_no_false_negatives,
         "text_token_counts": _q_text_token_counts,
         "text_stats_by_lang": _q_text_stats_by_lang,
         "exact_dedup_group_count": _q_exact_dedup_group_count,
@@ -345,6 +435,19 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {v})" for i, v in enumerate(_goldens_i64.values())
     )
     return {
+        "tdigest_median_within_tol": (
+            "SELECT event_type, 1 AS median_ok FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "kll_rank_error": (
+            "SELECT * FROM (VALUES (0.1, 1), (0.25, 1), (0.5, 1), (0.75, 1), "
+            "(0.9, 1)) t(q, rank_ok) ORDER BY q"
+        ),
+        "countmin_bounds": (
+            "SELECT user_id, 1 AS count_ok FROM (SELECT DISTINCT user_id "
+            "FROM events ORDER BY user_id LIMIT 25) ORDER BY user_id"
+        ),
+        "bloom_no_false_negatives": "SELECT 1 AS no_false_negatives",
         "text_token_counts": (
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
             "AS n_tokens FROM documents ORDER BY doc_id"

@@ -1,0 +1,115 @@
+"""Shared two-phase Spark plan for any mergeable sketch.
+
+A sketch kind plugs in three callables and gets the full distributed
+aggregation for free — the same treeAggregate shape proven out for HLL in
+hllspark.agg (partial per-partition build via mapInPandas, then a
+grouped-agg merge of serialized states; the shuffle carries one sketch row
+per (partition, key), never raw rows):
+
+    SketchKind(
+        zero        = lambda: state,
+        update      = lambda state, values(np/pd) -> state,
+        merge       = lambda s1, s2 -> state,
+        encode      = lambda state -> bytes,
+        decode      = lambda bytes -> state,
+    )
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType
+
+
+@dataclass(frozen=True)
+class SketchKind:
+    name: str
+    zero: Callable[[], object]
+    update: Callable[[object, pd.Series], object]
+    merge: Callable[[object, object], object]
+    encode: Callable[[object], bytes]
+    decode: Callable[[bytes], object]
+
+
+def sketch_agg(
+    df: DataFrame,
+    value_col: str,
+    kind: SketchKind,
+    keys: Sequence[str] | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """DataFrame[keys..., sketch binary] — one merged sketch per group."""
+    keys = list(keys or [])
+    projected = df.where(F.col(value_col).isNotNull()).select(*keys, value_col)
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    out_schema = (key_schema + ", " if key_schema else "") + f"{sketch_col} binary"
+
+    def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[tuple, object] = {}
+        key_rows: dict[tuple, pd.DataFrame] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if keys:
+                codes = pdf.groupby(keys, dropna=False, sort=False).ngroup().to_numpy()
+                uniq, first_idx = np.unique(codes, return_index=True)
+                key_df = pdf[keys].iloc[first_idx]
+                for row_i, code in enumerate(uniq):
+                    kt = tuple(key_df.iloc[row_i])
+                    vals = pdf[value_col].iloc[codes == code]
+                    if kt not in acc:
+                        acc[kt] = kind.zero()
+                        key_rows[kt] = key_df.iloc[row_i : row_i + 1]
+                    acc[kt] = kind.update(acc[kt], vals)
+            else:
+                if () not in acc:
+                    acc[()] = kind.zero()
+                acc[()] = kind.update(acc[()], pdf[value_col])
+        if not acc:
+            return
+        blobs = [kind.encode(s) for s in acc.values()]
+        if keys:
+            out = pd.concat([key_rows[kt] for kt in acc], ignore_index=True)
+            out[sketch_col] = blobs
+        else:
+            out = pd.DataFrame({sketch_col: blobs})
+        yield out
+
+    partials = projected.mapInPandas(build_partials, schema=out_schema)
+
+    def _merge(s: pd.Series) -> bytes:
+        states = [kind.decode(b) for b in s if b is not None]
+        out = states[0]
+        for st in states[1:]:
+            out = kind.merge(out, st)
+        return kind.encode(out)
+
+    merge_udf = F.pandas_udf(_merge, BinaryType())
+    if not keys:
+        spark = df.sparkSession
+        seed = spark.createDataFrame(
+            [(bytearray(kind.encode(kind.zero())),)], f"{sketch_col} binary"
+        )
+        return partials.unionByName(seed).agg(
+            merge_udf(F.col(sketch_col)).alias(sketch_col)
+        )
+    return partials.groupBy(*keys).agg(merge_udf(F.col(sketch_col)).alias(sketch_col))
+
+
+def query_udf(fn: Callable[[bytes], object], return_type: str):
+    """Wrap a per-sketch query (bytes -> scalar) as a scalar pandas UDF."""
+
+    def _q(s: pd.Series) -> pd.Series:
+        return pd.Series([fn(bytes(b)) for b in s])
+
+    return F.pandas_udf(_q, return_type)

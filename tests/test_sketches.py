@@ -1,0 +1,278 @@
+"""Tests for the extended sketch family: count-min, Bloom, KLL, t-digest.
+Each: correctness vs exact oracle, published error bound, merge == union,
+encode/decode round trip, determinism, and Spark-level aggregation."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark.sketches import bloom, countmin, generic, kll, tdigest
+from tests.conftest import SF_TEST
+
+
+# --------------------------------------------------------------------------
+# count-min
+# --------------------------------------------------------------------------
+
+class TestCountMin:
+    def test_overcount_only_and_bound(self):
+        rng = np.random.default_rng(0)
+        # zipf-ish frequencies
+        items = rng.zipf(1.5, size=50_000) % 1000
+        width, depth = 2053, 5
+        cm = countmin.update(countmin.zero(width, depth), items.astype(np.int64))
+        qs = np.arange(1000, dtype=np.int64)
+        est = countmin.point_estimate(cm, qs)
+        true = np.bincount(items, minlength=1000)[:1000]
+        assert np.all(est >= true)  # never undercounts
+        eps = np.e / width
+        # eps*N bound holds for (almost) all, expected failure prob e^-depth
+        viol = np.mean(est - true > eps * items.size)
+        assert viol < 0.01
+
+    def test_merge_equals_union(self):
+        rng = np.random.default_rng(1)
+        a = rng.integers(0, 500, 10_000)
+        b = rng.integers(0, 500, 10_000)
+        k = countmin.kind(1031, 4)
+        ca = k.update(k.zero(), pd.Series(a))
+        cb = k.update(k.zero(), pd.Series(b))
+        cu = k.update(k.zero(), pd.Series(np.concatenate([a, b])))
+        np.testing.assert_array_equal(k.merge(ca, cb), cu)
+
+    def test_round_trip_and_determinism(self):
+        cm = countmin.update(countmin.zero(521, 3), np.arange(1000))
+        buf = countmin.encode(cm)
+        np.testing.assert_array_equal(countmin.decode(buf), cm)
+        assert buf == countmin.encode(countmin.decode(buf))
+
+    def test_params_for(self):
+        w, d = countmin.params_for(eps=0.001, delta=0.01)
+        assert w >= 2718 and d >= 5
+
+    def test_string_items(self):
+        vals = pd.Series([f"item{i % 50}" for i in range(5000)])
+        cm = countmin.update(countmin.zero(1031, 4), vals)
+        est = countmin.point_estimate(cm, pd.Series(["item0", "item49"]).to_numpy())
+        assert est[0] >= 100 and est[1] >= 100
+
+
+# --------------------------------------------------------------------------
+# bloom
+# --------------------------------------------------------------------------
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        rng = np.random.default_rng(2)
+        members = rng.integers(0, 2**62, 20_000)
+        m, k = bloom.params_for(20_000, 0.01)
+        bits = bloom.update(bloom.zero(m), members, k)
+        assert bloom.might_contain(bits, members, k).all()
+
+    def test_fpp_near_target(self):
+        rng = np.random.default_rng(3)
+        members = rng.integers(0, 2**61, 20_000)
+        others = rng.integers(2**61, 2**62, 20_000)
+        m, k = bloom.params_for(20_000, 0.01)
+        bits = bloom.update(bloom.zero(m), members, k)
+        fpp = bloom.might_contain(bits, others, k).mean()
+        assert fpp < 0.02, fpp  # target 1%, allow 2x
+
+    def test_merge_is_union(self):
+        a = np.arange(0, 1000)
+        b = np.arange(1000, 2000)
+        m, k = bloom.params_for(2000, 0.01)
+        ba = bloom.update(bloom.zero(m), a, k)
+        bb = bloom.update(bloom.zero(m), b, k)
+        merged = bloom.merge(ba, bb)
+        assert bloom.might_contain(merged, np.concatenate([a, b]), k).all()
+        np.testing.assert_array_equal(
+            merged, bloom.update(bloom.update(bloom.zero(m), a, k), b, k)
+        )
+
+    def test_round_trip(self):
+        m, k = 4096, 5
+        bits = bloom.update(bloom.zero(m), np.arange(100), k)
+        got, k2 = bloom.decode(bloom.encode(bits, k))
+        assert k2 == k
+        np.testing.assert_array_equal(got, bits)
+
+
+# --------------------------------------------------------------------------
+# KLL
+# --------------------------------------------------------------------------
+
+class TestKLL:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(4)
+        data = rng.random(200_000)
+        s = kll.KLL(200).update(data)
+        for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = s.quantile(q)
+            true_rank = np.mean(data <= est)
+            assert abs(true_rank - q) < 0.03, (q, true_rank)
+
+    def test_merge_accuracy(self):
+        rng = np.random.default_rng(5)
+        parts = [rng.normal(0, 1, 50_000) for _ in range(4)]
+        merged = kll.KLL(200)
+        for part in parts:
+            merged = merged.merge(kll.KLL(200).update(part))
+        data = np.concatenate(parts)
+        for q in (0.1, 0.5, 0.9):
+            est = merged.quantile(q)
+            true_rank = np.mean(data <= est)
+            assert abs(true_rank - q) < 0.04, (q, true_rank)
+        assert merged.n == data.size
+
+    def test_round_trip_and_determinism(self):
+        rng = np.random.default_rng(6)
+        s = kll.KLL(100).update(rng.random(10_000))
+        buf = kll.encode(s)
+        s2 = kll.decode(buf)
+        assert kll.encode(s2) == buf
+        np.testing.assert_array_equal(
+            s.quantile([0.1, 0.5, 0.9]), s2.quantile([0.1, 0.5, 0.9])
+        )
+
+    def test_deterministic_same_stream(self):
+        rng = np.random.default_rng(7)
+        data = rng.random(30_000)
+        a = kll.encode(kll.KLL(150).update(data))
+        b = kll.encode(kll.KLL(150).update(data))
+        assert a == b
+
+    def test_rank_query(self):
+        data = np.arange(10_000, dtype=float)
+        s = kll.KLL(200).update(data)
+        assert abs(s.rank(5000.0) - 0.5) < 0.03
+
+    def test_memory_bounded(self):
+        rng = np.random.default_rng(8)
+        s = kll.KLL(200)
+        for _ in range(20):
+            s.update(rng.random(100_000))
+        assert s._size() < 3000  # sublinear in n=2M
+
+
+# --------------------------------------------------------------------------
+# t-digest
+# --------------------------------------------------------------------------
+
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(9)
+        data = rng.random(200_000)
+        t = tdigest.TDigest(100).update(data)
+        for q in (0.001, 0.01, 0.5, 0.99, 0.999):
+            est = t.quantile(q)
+            true_rank = np.mean(data <= est)
+            tol = 0.005 if q in (0.5,) else 0.002  # tails tighter (t-digest property)
+            assert abs(true_rank - q) < max(tol, 0.01), (q, true_rank)
+
+    def test_tail_accuracy_better_than_mid(self):
+        rng = np.random.default_rng(10)
+        data = rng.normal(0, 1, 300_000)
+        t = tdigest.TDigest(100).update(data)
+        err_tail = abs(np.mean(data <= t.quantile(0.999)) - 0.999)
+        err_mid = abs(np.mean(data <= t.quantile(0.5)) - 0.5)
+        assert err_tail < 0.002
+        assert err_mid < 0.02
+
+    def test_merge_accuracy(self):
+        rng = np.random.default_rng(11)
+        parts = [rng.exponential(2.0, 80_000) for _ in range(3)]
+        digests = [tdigest.TDigest(100).update(p) for p in parts]
+        merged = digests[0].merge(digests[1]).merge(digests[2])
+        data = np.concatenate(parts)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = merged.quantile(q)
+            true_rank = np.mean(data <= est)
+            assert abs(true_rank - q) < 0.02, (q, true_rank)
+        assert merged.n == data.size
+
+    def test_centroid_count_bounded(self):
+        rng = np.random.default_rng(12)
+        t = tdigest.TDigest(100)
+        for _ in range(10):
+            t.update(rng.random(100_000))
+        assert t.means.size <= 200  # ~delta centroids
+
+    def test_round_trip(self):
+        rng = np.random.default_rng(13)
+        t = tdigest.TDigest(100).update(rng.random(50_000))
+        buf = tdigest.encode(t)
+        t2 = tdigest.decode(buf)
+        assert tdigest.encode(t2) == buf
+        assert t2.quantile(0.5) == t.quantile(0.5)
+
+
+# --------------------------------------------------------------------------
+# Spark integration via the generic adapter
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_TEST}/events.parquet").cache()
+
+
+def test_spark_countmin_heavy_hitters(spark, events):
+    k = countmin.kind(2053, 5)
+    sk = generic.sketch_agg(events, "user_id", k).first()["sketch"]
+    cm = countmin.decode(bytes(sk))
+    true = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).limit(50).collect()
+    }
+    ids = np.array(list(true), dtype=np.int64)
+    est = countmin.point_estimate(cm, ids)
+    n = events.count()
+    for i, uid in enumerate(ids):
+        assert est[i] >= true[uid]
+        assert est[i] <= true[uid] + np.e / 2053 * n * 3
+
+
+def test_spark_tdigest_quantiles_grouped(spark, events):
+    k = tdigest.kind(100)
+    rows = generic.sketch_agg(events, "value", k, keys=["event_type"]).collect()
+    exact = {
+        r["event_type"]: r["q"]
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("q"))
+        .collect()
+    }
+    spread = {
+        r["event_type"]: r["s"]
+        for r in events.groupBy("event_type")
+        .agg(
+            (F.expr("percentile(value, 0.99)") - F.expr("percentile(value, 0.01)")).alias("s")
+        )
+        .collect()
+    }
+    for r in rows:
+        t = tdigest.decode(bytes(r["sketch"]))
+        assert abs(t.quantile(0.5) - exact[r["event_type"]]) < 0.05 * max(
+            spread[r["event_type"]], 1.0
+        )
+
+
+def test_spark_kll_vs_approx_percentile(spark, events):
+    k = kll.kind(200)
+    sk = generic.sketch_agg(events, "value", k).first()["sketch"]
+    s = kll.decode(bytes(sk))
+    exact = events.select(F.expr("percentile(value, array(0.1, 0.5, 0.9))")).first()[0]
+    got = s.quantile([0.1, 0.5, 0.9])
+    values = [r["value"] for r in events.select("value").collect()]
+    arr = np.array(values)
+    for g, q in zip(got, (0.1, 0.5, 0.9)):
+        assert abs(np.mean(arr <= g) - q) < 0.03
+
+
+def test_spark_bloom_membership(spark, events):
+    m, kh = bloom.params_for(5000, 0.01)
+    k = bloom.kind(m, kh)
+    sk = generic.sketch_agg(events, "user_id", k).first()["sketch"]
+    bits, k2 = bloom.decode(bytes(sk))
+    users = np.array([r[0] for r in events.select("user_id").distinct().collect()])
+    assert bloom.might_contain(bits, users, k2).all()
