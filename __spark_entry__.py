@@ -311,6 +311,50 @@ def _q_farmhash_golden(spark: SparkSession, sf: str) -> DataFrame:
 # --- extended sketch family (count-min / bloom / kll / t-digest) -----------
 
 
+def _q_streaming_users_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming sketch maintenance (availableNow over the same
+    parquet): final per-group estimates must satisfy the HLL bound — and
+    they equal the batch build byte-for-byte (monoid property)."""
+    import os
+    import tempfile
+
+    from hllspark import streaming
+
+    batch = _t(spark, sf, "events")
+    # testdata tables may be single files; FileStreamSource needs a dir view
+    src = f"{sf}/events.parquet"
+    if os.path.isfile(src):
+        d = tempfile.mkdtemp(prefix="hllspark-stream-src-")
+        os.symlink(os.path.abspath(src), os.path.join(d, "part-0.parquet"))
+        src = d
+    sdf = spark.readStream.schema(batch.schema).parquet(src)
+    out = streaming.sketch_stream(sdf, "user_id", ["event_type"], p=_P)
+    rows: dict[str, float] = {}
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        for r in bdf.collect():
+            rows[r["event_type"]] = r["distinct_estimate"]
+
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    est = spark.createDataFrame(
+        [(k, v) for k, v in rows.items()],
+        "event_type string, distinct_estimate double",
+    )
+    exact = batch.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    return _within_bound(est, exact, "event_type")
+
+
 def _q_tdigest_median_within_tol(spark: SparkSession, sf: str) -> DataFrame:
     from hllspark.sketches import generic, tdigest
 
@@ -396,6 +440,7 @@ def _q_bloom_no_false_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "streaming_users_within_bound": _q_streaming_users_within_bound,
         "tdigest_median_within_tol": _q_tdigest_median_within_tol,
         "kll_rank_error": _q_kll_rank_error,
         "countmin_bounds": _q_countmin_bounds,
@@ -435,6 +480,10 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {v})" for i, v in enumerate(_goldens_i64.values())
     )
     return {
+        "streaming_users_within_bound": (
+            "SELECT event_type, 1 AS within_bound FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "tdigest_median_within_tol": (
             "SELECT event_type, 1 AS median_ok FROM events "
             "GROUP BY event_type ORDER BY event_type"

@@ -1,0 +1,226 @@
+"""Structured Streaming sketch maintenance.
+
+The reference's sketches are commutative monoids (add/merge,
+HyperLogLog.hpp:41-49,124-131), so they stream trivially; the reference
+itself has no streaming runtime (SURVEY.md §2.5) — this module is the
+Spark-native extension of the same algebra to unbounded input.
+
+Three shapes, most-native first:
+
+1. ``register_stream`` — the impl='sql' register aggregate
+   (groupBy(keys, j).max(r)) applied to a streaming DataFrame.  This is a
+   single native stateful aggregation: Spark keeps <= keys x m tiny (j, r)
+   rows in its state store, updates are map-side-combined per micro-batch,
+   and no Python runs at all.  Works in update/complete output mode.
+
+2. ``sketch_stream`` — per-key serialized sketch + running estimate via
+   ``applyInPandasWithState``: state = one binary register blob per key,
+   update = vectorized scatter-max over the micro-batch (np.maximum.at),
+   exactly the batch build's inner loop.  Emits (keys..., sketch,
+   distinct_estimate) every trigger in update mode.  Use when the sketch
+   bytes themselves must flow downstream (checkpointing, re-merge).
+
+3. ``windowed_register_stream`` — event-time windows + watermark over the
+   native register aggregate: groupBy(window(ts), keys, j).max(r).  In
+   append mode a window's register rows are emitted once, when the
+   watermark closes it; feed them to ``assemble_window_sketches`` inside a
+   ``foreachBatch`` sink to get one finalized sketch row per closed window
+   (chained streaming aggregations are not supported, so the second-level
+   assembly runs in batch-land per micro-batch — exactly once per window).
+
+``snapshot_sink`` wires any sketch stream into io.SnapshotWriter: each
+micro-batch commits as one lineage-tracked unit, so a killed stream resumes
+from the last committed snapshot (north_rule checkpoint semantics) on top
+of Spark's own offset checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+from . import hll as _hll
+from . import sketch as _sketch
+from .agg import _jr_columns_sql, _key_schema
+from .hashing import jr_split
+
+_HASH_COL = "__hllspark_hash"
+_J_COL = "__hllspark_j"
+_R_COL = "__hllspark_r"
+_SKETCH_COL = "sketch"
+_GLOBAL_KEY = "__hllspark_g"
+
+
+def _hash_projection(sdf: DataFrame, value_col: str, keys: Sequence[str],
+                     extra: Sequence[str] = ()) -> DataFrame:
+    """JVM-side xxhash64 projection (column-pruned; no Python)."""
+    return sdf.where(F.col(value_col).isNotNull()).select(
+        *keys, *extra, F.xxhash64(F.col(value_col)).alias(_HASH_COL)
+    )
+
+
+def register_stream(
+    sdf: DataFrame, value_col: str, keys: Sequence[str] | None = None, p: int = 14
+) -> DataFrame:
+    """Streaming maxed-register rows: one native stateful aggregation.
+
+    Returns a streaming DataFrame[keys..., j, r] for update/complete sinks.
+    State size is bounded by #keys * m rows independent of input volume.
+    """
+    keys = list(keys or [])
+    projected = _hash_projection(sdf, value_col, keys)
+    j, r = _jr_columns_sql(F.col(_HASH_COL))(p)
+    jr = projected.select(*keys, j.alias(_J_COL), r.alias(_R_COL))
+    return jr.groupBy(*keys, _J_COL).agg(F.max(_R_COL).alias(_R_COL))
+
+
+def sketch_stream(
+    sdf: DataFrame,
+    value_col: str,
+    keys: Sequence[str] | None = None,
+    p: int = 14,
+    algo: str = "hll",
+    m_bits: int = 3,
+) -> DataFrame:
+    """Per-key incremental sketch via applyInPandasWithState.
+
+    State: one serialized register blob per key (6m bits HLL / compressed
+    HLLL).  Each trigger emits (keys..., sketch binary, distinct_estimate
+    double) for keys touched by the micro-batch (update mode).
+    """
+    keys = list(keys or [])
+    group_cols = keys if keys else [_GLOBAL_KEY]
+    projected = _hash_projection(sdf, value_col, keys)
+    if not keys:
+        projected = projected.withColumn(_GLOBAL_KEY, F.lit(1))
+
+    key_fields = [
+        f for f in projected.schema.fields if f.name in group_cols
+    ] if keys else []
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(_SKETCH_COL, BinaryType()),
+            StructField("distinct_estimate", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("regs", BinaryType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            regs = _sketch.decode(bytes(state.get[0]))
+        else:
+            regs = _hll.empty(p)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            hashes = pdf[_HASH_COL].to_numpy().astype(np.int64).view(np.uint64)
+            jj, rr = jr_split(hashes, p)
+            np.maximum.at(regs, jj, rr)
+        # state carries the cheap dense form; the emitted column carries the
+        # requested serialization (HLLL compression at the boundary, §7)
+        state.update((bytearray(_sketch.encode_hll(regs)),))
+        blob = _sketch.encode(regs, algo, m_bits)
+        row = {f.name: [v] for f, v in zip(key_fields, key)} if keys else {}
+        row[_SKETCH_COL] = [blob]
+        row["distinct_estimate"] = [float(_hll.estimate(regs))]
+        yield pd.DataFrame(row)
+
+    return projected.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_register_stream(
+    sdf: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window_duration: str,
+    keys: Sequence[str] | None = None,
+    p: int = 14,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Event-time windowed register rows with watermark-gated finalization.
+
+    Returns streaming DataFrame[window struct, keys..., j, r] at per-j
+    granularity (groupBy(window, keys, j).max(r)); in append mode each
+    window's rows appear exactly once, after the watermark passes
+    window.end (late rows beyond the delay are dropped by Spark).  Feed
+    to assemble_window_sketches in a foreachBatch sink.
+    """
+    keys = list(keys or [])
+    projected = _hash_projection(
+        sdf.withWatermark(ts_col, watermark_delay), value_col, keys, extra=[ts_col]
+    )
+    j, r = _jr_columns_sql(F.col(_HASH_COL))(p)
+    jr = projected.select(
+        F.window(ts_col, window_duration).alias("window"),
+        *keys,
+        j.alias(_J_COL),
+        r.alias(_R_COL),
+    )
+    return jr.groupBy("window", *keys, _J_COL).agg(F.max(_R_COL).alias(_R_COL))
+
+
+def assemble_window_sketches(
+    batch_df: DataFrame,
+    keys: Sequence[str] | None = None,
+    p: int = 14,
+    algo: str = "hll",
+    m_bits: int = 3,
+) -> DataFrame:
+    """Batch-side finalizer for windowed_register_stream output (run
+    inside foreachBatch): register rows -> one sketch + estimate per
+    (window, keys) group."""
+    keys = list(keys or [])
+    group_cols = ["window"] + keys
+    key_schema = _key_schema(batch_df, keys)
+    out_schema = (
+        "window struct<start:timestamp,end:timestamp>"
+        + (", " + key_schema if key_schema else "")
+        + f", {_SKETCH_COL} binary, distinct_estimate double"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        np.maximum.at(
+            regs,
+            pdf[_J_COL].to_numpy().astype(np.int64),
+            pdf[_R_COL].to_numpy().astype(np.uint8),
+        )
+        out = pdf.iloc[:1][group_cols].copy()
+        out[_SKETCH_COL] = [_sketch.encode(regs, algo, m_bits)]
+        out["distinct_estimate"] = [float(_hll.estimate(regs))]
+        return out
+
+    return batch_df.groupBy(*group_cols).applyInPandas(assemble, schema=out_schema)
+
+
+def snapshot_sink(writer, lineage_extra: dict | None = None):
+    """foreachBatch function committing each micro-batch of sketch rows as
+    one SnapshotWriter unit (unit id = batch id) with lineage metadata —
+    resumable sketch checkpointing on top of Spark's offset log."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"batch-{batch_id:08d}"
+        if unit in writer.committed_units():  # replayed batch after restart
+            return
+        lineage = {"batch_id": batch_id, **(lineage_extra or {})}
+        writer.write_unit(batch_df, unit, lineage=lineage)
+
+    return sink

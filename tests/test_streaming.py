@@ -1,0 +1,194 @@
+"""Structured Streaming sketch maintenance — streaming results must equal
+the batch build byte-for-byte (the monoid property, reference
+HyperLogLog.hpp:124-131, extended to unbounded input)."""
+
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark import agg, hll, io as hio, sketch, streaming
+
+
+def _write_events(spark, path, n=5000, n_users=1200, files=1):
+    df = spark.range(n).select(
+        (F.col("id") % n_users).alias("user_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.timestamp_seconds(F.lit(1717200000) + F.col("id") * 10).alias("ts"),
+    )
+    df.repartition(files).write.mode("overwrite").parquet(path)
+    return df
+
+
+def _run_stream(sdf, sink, checkpoint):
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_sketch_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, files=1)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+
+    out = streaming.sketch_stream(sdf, "user_id", ["grp"], p=10)
+    rows = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            rows[r["grp"]] = r
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+
+    expected = {
+        r["grp"]: bytes(r["sketch"])
+        for r in agg.sketch_by(batch_df, "user_id", ["grp"], p=10).collect()
+    }
+    assert set(rows) == set(expected)
+    for g, r in rows.items():
+        assert bytes(r["sketch"]) == expected[g]
+        regs = sketch.decode(bytes(r["sketch"]))
+        assert r["distinct_estimate"] == pytest.approx(float(hll.estimate(regs)))
+
+
+def test_sketch_stream_incremental_across_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces multiple micro-batches; the final state
+    must equal the batch sketch over all input (incremental add == bulk)."""
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, files=3)
+    sdf = (
+        spark.readStream.schema("user_id long, grp string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming.sketch_stream(sdf, "user_id", p=10)
+    final = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            final["g"] = bytes(r["sketch"])
+            final["batches"] = final.get("batches", 0) + 1
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+    assert final["batches"] >= 2  # actually exercised incrementality
+    expected = bytes(
+        agg.sketch_by(batch_df, "user_id", p=10).first()["sketch"]
+    )
+    assert final["g"] == expected
+
+
+def test_register_stream_native_agg(spark, tmp_path):
+    """The fully-native streaming register aggregate (zero Python) matches
+    the batch register table."""
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, files=1)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    out = streaming.register_stream(sdf, "user_id", ["grp"], p=8)
+    got = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            got[(r["grp"], r["__hllspark_j"])] = r["__hllspark_r"]
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+
+    exp_df = agg._maxed_registers_sql(batch_df, "user_id", ["grp"], 8, "xxhash64")
+    exp = {
+        (r["grp"], r["__hllspark_j"]): r["__hllspark_r"] for r in exp_df.collect()
+    }
+    assert got == exp
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path):
+    """Windowed register rows -> assemble_window_sketches finalizer: per
+    window+key estimates within the HLL bound of exact windowed distincts."""
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, n=6000, n_users=900, files=1)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    win = streaming.windowed_register_stream(
+        sdf, "user_id", "ts", "6 hours", ["grp"], p=12, watermark_delay="1 minute"
+    )
+    got = {}
+
+    def sink(bdf, bid):
+        done = streaming.assemble_window_sketches(bdf, ["grp"], p=12)
+        for r in done.collect():
+            got[(r["window"]["start"], r["grp"])] = r["distinct_estimate"]
+
+    q = (
+        win.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    exact = {
+        (r["ws"], r["grp"]): r["exact"]
+        for r in batch_df.groupBy(
+            F.window("ts", "6 hours")["start"].alias("ws"), "grp"
+        )
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; all closed ones must
+    # be present and accurate (the last window may stay open)
+    assert len(got) >= len(exact) - 4
+    bound = 3 * hll.error_bound(12)
+    for key, est in got.items():
+        assert abs(est / exact[key] - 1.0) <= bound
+
+
+def test_snapshot_sink_resumable(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src, files=2)
+    sdf = (
+        spark.readStream.schema("user_id long, grp string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming.sketch_stream(sdf, "user_id", ["grp"], p=8)
+    writer = hio.SnapshotWriter(str(tmp_path / "snap"))
+    _run_stream(out, streaming.snapshot_sink(writer, {"source": src}), str(tmp_path / "ck"))
+
+    units = writer.committed_units()
+    assert len(units) >= 2
+    committed = writer.read_committed(spark)
+    assert committed.where(F.col("sketch").isNotNull()).count() >= 4
+    man = writer.latest_manifest()
+    assert all("batch_id" in u["lineage"] for u in man["units"].values())
+    # replaying an already-committed batch id is a no-op (restart semantics)
+    sink = streaming.snapshot_sink(writer)
+    before = writer.latest_manifest()["snapshot"]
+    sink(committed.limit(1), 0)
+    assert writer.latest_manifest()["snapshot"] == before
+
+
+def test_sketch_stream_estimate_within_bound(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src, n=20000, n_users=5000, files=1)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    out = streaming.sketch_stream(sdf, "user_id", p=12)
+    est = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            est["v"] = r["distinct_estimate"]
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+    assert abs(est["v"] / 5000.0 - 1.0) <= 3 * hll.error_bound(12)
