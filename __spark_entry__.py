@@ -308,6 +308,128 @@ def _q_farmhash_golden(spark: SparkSession, sf: str) -> DataFrame:
     return df.select("i", fp(F.col("s")).alias("h")).orderBy("i")
 
 
+def _q_quality_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    qf = htext.quality_features(docs)
+    return (
+        qf.groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("mean_word_len"), 4).alias("avg_word_len"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        htext.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_fingerprint_collision_free(spark: SparkSession, sf: str) -> DataFrame:
+    """content_fingerprint is injective on this corpus: #distinct prints ==
+    #distinct normalized texts (collision probability ~ n^2/2^64)."""
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    agg_row = docs.agg(
+        F.countDistinct(htext.content_fingerprint(F.col("text"))).alias("n_fp"),
+        F.countDistinct(norm).alias("n_norm"),
+    )
+    return agg_row.select(
+        (F.col("n_fp") == F.col("n_norm")).cast("int").alias("collision_free")
+    )
+
+
+def _q_dedup_keep_one_count(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import dedup
+
+    docs = _t(spark, sf, "documents")
+    return dedup.deduplicate_exact(docs).agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+
+
+def _q_multimodal_feature_dims(spark: SparkSession, sf: str) -> DataFrame:
+    from hllspark import multimodal
+
+    media = multimodal.synthesize_media(spark, 60)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", F.size("features").alias("feat_dim")
+    ).orderBy("media_id")
+
+
+def _q_frame_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan: sampled-frame count == ceil(n_frames/30)
+    per video row (pure-SQL explode plan, decode stubbed)."""
+    from hllspark import multimodal
+
+    media = multimodal.synthesize_media(spark, 60)
+    plan = multimodal.frame_sample_plan(media, every_n=30)
+    per = plan.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_sampled"))
+    j = media.where(F.col("kind") == "video").join(per, "media_id")
+    return j.select(
+        "media_id",
+        (F.col("n_sampled") == F.ceil(F.col("n_frames") / 30))
+        .cast("int")
+        .alias("frames_ok"),
+    ).orderBy("media_id")
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN recall vs brute-force top-5 (deterministic seeded
+    hyperplanes); the scale path must recover most true neighbors."""
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = similarity.brute_force_top_k(emb, queries_df, k=5).select(
+        "query_id", "vec_id"
+    )
+    lsh = similarity.lsh_top_k(emb, queries_df, dim, k=5).select(
+        "query_id", "vec_id"
+    )
+    hit = brute.join(lsh, ["query_id", "vec_id"]).count()
+    total = brute.count()
+    return spark.createDataFrame(
+        [(int(hit / max(total, 1) >= 0.5),)], "lsh_recall_ok int"
+    )
+
+
+def _q_winnow_fingerprint_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing invariants (Schleimer'03): selected prints are a non-empty
+    subset of the k-gram hash set, at most one per window position."""
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100)
+    grams = htext.shingles(F.col("text"), 5)
+    all_hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    fps = htext.winnow_fingerprints(F.col("text"), k=5, window=4)
+    n_windows = F.greatest(F.size(all_hashes) - F.lit(3), F.lit(0))
+    ok = (
+        (F.size(fps) > 0)
+        & (F.size(fps) <= n_windows)
+        & (F.size(F.array_except(fps, all_hashes)) == 0)
+    )
+    return docs.select("doc_id", ok.cast("int").alias("winnow_ok")).orderBy(
+        "doc_id"
+    )
+
+
 # --- extended sketch family (count-min / bloom / kll / t-digest) -----------
 
 
@@ -445,6 +567,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_error": _q_kll_rank_error,
         "countmin_bounds": _q_countmin_bounds,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        "quality_stats_by_lang": _q_quality_stats_by_lang,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "fingerprint_collision_free": _q_fingerprint_collision_free,
+        "dedup_keep_one_count": _q_dedup_keep_one_count,
+        "multimodal_feature_dims": _q_multimodal_feature_dims,
+        "frame_sample_counts": _q_frame_sample_counts,
+        "ann_lsh_recall": _q_ann_lsh_recall,
+        "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
         "text_stats_by_lang": _q_text_stats_by_lang,
         "exact_dedup_group_count": _q_exact_dedup_group_count,
@@ -497,6 +627,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM events ORDER BY user_id LIMIT 25) ORDER BY user_id"
         ),
         "bloom_no_false_negatives": "SELECT 1 AS no_false_negatives",
+        "quality_stats_by_lang": (
+            "WITH f AS (SELECT lang, length(text) AS n_chars, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) "
+            "AS n_punct, len(list_filter(regexp_split_to_array(trim(text), "
+            "'\\s+'), w -> lower(w) IN ('the','a','an','and','or','of','to',"
+            "'in','is','it','for','on','with','as','at','by','this','that',"
+            "'be','are'))) AS stop_hits FROM documents), "
+            "g AS (SELECT lang, n_tokens, "
+            "CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END "
+            "AS punct_ratio, "
+            "CASE WHEN n_tokens > 0 THEN stop_hits * 1.0 / n_tokens ELSE 0 "
+            "END AS stop_ratio, "
+            "CASE WHEN n_tokens > 0 THEN (n_chars - n_tokens + 1) * 1.0 / "
+            "n_tokens ELSE 0 END AS mwl FROM f) "
+            "SELECT lang, round(avg(n_tokens), 4) AS avg_tokens, "
+            "round(avg(stop_ratio), 4) AS avg_stopword_ratio, "
+            "round(avg(mwl), 4) AS avg_word_len, "
+            "round(avg(least(n_tokens / 100.0, 1.0) * 0.4 + "
+            "(1 - least(punct_ratio * 5, 1.0)) * 0.3 + "
+            "least(stop_ratio * 3, 1.0) * 0.3), 4) AS avg_quality "
+            "FROM g GROUP BY lang ORDER BY lang"
+        ),
+        "bpe_token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\w+')) + "
+            "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_bpe_tokens "
+            "FROM documents WHERE doc_id < 200 ORDER BY doc_id"
+        ),
+        "fingerprint_collision_free": "SELECT 1 AS collision_free",
+        "dedup_keep_one_count": (
+            "SELECT count(DISTINCT lower(regexp_replace(text, '\\s+', ' ', "
+            "'g'))) AS n_after_dedup FROM documents"
+        ),
+        "multimodal_feature_dims": (
+            "SELECT r.range AS media_id, 16 AS feat_dim FROM range(60) r "
+            "ORDER BY media_id"
+        ),
+        "frame_sample_counts": (
+            "SELECT r.range AS media_id, 1 AS frames_ok FROM range(60) r "
+            "WHERE r.range % 3 = 2 ORDER BY media_id"
+        ),
+        "ann_lsh_recall": "SELECT 1 AS lsh_recall_ok",
+        "winnow_fingerprint_props": (
+            "SELECT doc_id, 1 AS winnow_ok FROM documents WHERE doc_id < 100 "
+            "ORDER BY doc_id"
+        ),
         "text_token_counts": (
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
             "AS n_tokens FROM documents ORDER BY doc_id"

@@ -84,7 +84,16 @@ def main() -> None:
         (F.col("id") % 8).cast("string").alias("g"),
     )
 
+    # north-rule input shape: Common-Crawl-style pages (url, warc_ts, html,
+    # text, lang), generated as pure SQL exprs — no disk, deterministic
+    from hllspark import io as hio
+
+    pages = hio.generate_pages(spark, 2_000_000, num_partitions=2 * CPUS)
+
     queries = {
+        "q0_pages_2m_urls_by_lang": lambda: agg.approx_distinct(
+            pages, "url", ["lang"], p=14
+        ).collect(),
         "q1_hll_lineitem_grouped": lambda: agg.approx_distinct(
             lineitem, "l_orderkey", ["l_returnflag"], p=14
         ).collect(),
@@ -102,6 +111,10 @@ def main() -> None:
         "q5_synth_20m_build": lambda: agg.approx_distinct(synth, "v", p=14).collect(),
         "q6_synth_20m_grouped": lambda: agg.approx_distinct(
             synth, "v", ["g"], p=12
+        ).collect(),
+        # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
+        "b0_hashonly_20m": lambda: synth.select(
+            F.max(F.xxhash64("v"))
         ).collect(),
         # built-in baselines (the reference compares against Apache
         # DataSketches / ZetaSketch; Spark's approx_count_distinct is HLL++)
@@ -127,6 +140,13 @@ def main() -> None:
         ),
         "ours_vs_builtin_hllpp": round(
             results["q1_hll_lineitem_grouped"] / results["b1_spark_approx_cd"], 3
+        ),
+        "hashonly_floor_rows_per_sec": round(
+            SYNTH_ROWS / results["b0_hashonly_20m"]
+        ),
+        "pages_rows_per_sec": round(2_000_000 / results["q0_pages_2m_urls_by_lang"]),
+        "build_vs_hashonly_floor": round(
+            results["q5_synth_20m_build"] / results["b0_hashonly_20m"], 3
         ),
     }
     print(
