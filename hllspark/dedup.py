@@ -69,7 +69,12 @@ def minhash_signature(
 ):
     """num_hashes-wide MinHash signature as array<bigint>, entirely in SQL:
     per permutation i, min over shingles of xxhash64(shingle, seed+i).
-    Documents with no shingles get an empty signature."""
+    Documents with no shingles get an empty signature.
+
+    Column-expression form: fine for one-off use, but the shingle
+    construction is re-evaluated per permutation at runtime (lambda bodies
+    are not CSE'd across higher-order-function calls) — the dataframe-level
+    builders below materialize the gram array once instead."""
     grams = shingles(text, k)
     return F.when(F.size(grams) < 1, F.array().cast("array<bigint>")).otherwise(
         F.transform(
@@ -79,6 +84,43 @@ def minhash_signature(
             ),
         )
     )
+
+
+def _minhash_signatures_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    seed: int,
+) -> DataFrame:
+    """(id, __sig) with the gram array materialized in its OWN projection.
+
+    The permutation array is unrolled in Python so the gram column is
+    referenced num_hashes times at the top level — Catalyst's
+    CollapseProject keeps a non-cheap alias referenced more than once
+    un-inlined, so shingling runs once per row instead of once per
+    permutation (verified via .explain: Project(__grams) survives).
+    Docs with fewer than k tokens (no shingles) are pre-filtered with a
+    cheap pushable predicate.  Signature values are identical to
+    minhash_signature."""
+    has_shingles = (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= F.lit(k)
+    ) & (F.trim(F.col(text_col)) != "")
+    grams = df.where(has_shingles).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__grams")
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__grams"), lambda g, i=i: F.xxhash64(g, F.lit(seed + i))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return grams.select(F.col(id_col), sig.alias("__sig"))
 
 
 def minhash_lsh_candidates(
@@ -101,28 +143,28 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), k, num_hashes, seed).alias("__sig")
-    ).where(F.size("__sig") > 0)
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows + 1, rows),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
+    sig = _minhash_signatures_df(df, text_col, id_col, k, num_hashes, seed)
+    # bands unrolled in Python: __sig referenced `bands` times keeps its
+    # projection un-collapsed (signature computed once per row, not per band)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("__sig"), b * rows + 1, rows),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
             )
-        ).alias("bb"),
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.alias("l")
     right = banded.alias("r")

@@ -68,33 +68,38 @@ def brute_force_top_k(
     )
 
 
-def _hyperplane(dim: int, plane_idx, seed: int):
-    """Deterministic pseudo-random hyperplane: component d of plane i is
-    a symmetric value derived from xxhash64(i, d, seed) — pure SQL."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(F.xxhash64(plane_idx, d, F.lit(seed)), F.lit(2001)).cast("double")
-            - F.lit(1000.0)
-        )
-        / F.lit(1000.0),
+def _planes(dim: int, n_planes: int, seed: int):
+    """Deterministic hyperplane matrix, computed ONCE at plan-build time in
+    numpy and embedded as array literals.  (An earlier pure-SQL variant
+    derived components from xxhash64 inside a lambda; Catalyst cannot
+    constant-fold lambda bodies, so every row re-hashed n_planes x dim
+    components — plan-time literals remove that entirely.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(
+        np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        + np.uint64(dim) * np.uint64(1013)
+        + np.uint64(n_planes)
     )
+    return rng.uniform(-1.0, 1.0, size=(n_planes, dim)).round(6)
 
 
 def signature_bits(vec, dim: int, n_planes: int = 16, seed: int = 5):
     """Random-hyperplane signature: bit i = sign(vec . plane_i).  Returns a
-    bigint (n_planes <= 63 bits)."""
-    def bit(i):  # i: Column plane index
-        return F.when(
-            _dot(vec, _hyperplane(dim, i, seed)) > 0, F.lit(1).cast("long")
+    bigint (n_planes <= 63 bits).  Planes are plan-time literals; per row
+    only the n_planes dot products remain (the irreducible LSH cost)."""
+    planes = _planes(dim, n_planes, seed)
+    bits = [
+        F.when(
+            _dot(vec, F.lit([float(x) for x in planes[i]])) > 0,
+            F.lit(1 << i).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-
-    # MSB-first acc*2+bit (n_planes <= 63, no overflow)
-    return F.aggregate(
-        F.sequence(F.lit(n_planes - 1), F.lit(0), F.lit(-1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc * 2 + bit(i),
-    )
+        for i in range(n_planes)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc
 
 
 def _banded_buckets(sig_col, bands: int, rows: int):
@@ -131,22 +136,37 @@ def lsh_top_k(
     At 10^12 scale the bucket join replaces the O(corpus x queries)
     cross join with O(collisions)."""
     rows = n_planes // bands
-    c = corpus.select(
-        id_col,
-        vec_col,
-        F.explode(
-            _banded_buckets(signature_bits(F.col(vec_col), dim, n_planes, seed), bands, rows)
-        ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.val")
-    q = queries.select(
-        query_id_col,
-        query_vec_col,
-        F.explode(
-            _banded_buckets(
-                signature_bits(F.col(query_vec_col), dim, n_planes, seed), bands, rows
-            )
-        ).alias("bb"),
-    ).select(query_id_col, query_vec_col, "bb.band", "bb.val")
+    # signature materialized in its own projection (referenced `bands`
+    # times by the bucket array -> CollapseProject keeps it; the n_planes
+    # dot products run once per row, not once per band)
+    c = (
+        corpus.select(
+            id_col,
+            vec_col,
+            signature_bits(F.col(vec_col), dim, n_planes, seed).alias("__sig"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.explode(_banded_buckets(F.col("__sig"), bands, rows)).alias("bb"),
+        )
+        .select(id_col, vec_col, "bb.band", "bb.val")
+    )
+    q = (
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            signature_bits(F.col(query_vec_col), dim, n_planes, seed).alias(
+                "__sig"
+            ),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(_banded_buckets(F.col("__sig"), bands, rows)).alias("bb"),
+        )
+        .select(query_id_col, query_vec_col, "bb.band", "bb.val")
+    )
     cand = (
         c.join(q, ["band", "val"])
         .select(query_id_col, id_col, vec_col, query_vec_col)
@@ -174,13 +194,19 @@ def near_duplicates_by_cosine(
     """Embedding near-dup pairs: sign-LSH self-join then exact cosine
     filter. Returns (id_a, id_b, cosine) with id_a < id_b."""
     rows = n_planes // bands
-    sigs = df.select(
-        id_col,
-        vec_col,
-        F.explode(
-            _banded_buckets(signature_bits(F.col(vec_col), dim, n_planes, seed), bands, rows)
-        ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.val")
+    sigs = (
+        df.select(
+            id_col,
+            vec_col,
+            signature_bits(F.col(vec_col), dim, n_planes, seed).alias("__sig"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.explode(_banded_buckets(F.col("__sig"), bands, rows)).alias("bb"),
+        )
+        .select(id_col, vec_col, "bb.band", "bb.val")
+    )
     l, r = sigs.alias("l"), sigs.alias("r")
     cand = (
         l.join(
