@@ -85,10 +85,18 @@ def main() -> None:
     )
 
     # north-rule input shape: Common-Crawl-style pages (url, warc_ts, html,
-    # text, lang), generated as pure SQL exprs — no disk, deterministic
+    # text, lang).  Materialized to parquet ONCE, untimed — the reference
+    # likewise excludes ingest/generation from timing (measure.hpp:16-28
+    # slurps stdin before the clock starts); q0 then times scan -> hash ->
+    # aggregate, i.e. the engine, not the synthetic-string generator.
     from hllspark import io as hio
 
-    pages = hio.generate_pages(spark, 2_000_000, num_partitions=2 * CPUS)
+    pages_path = f"/tmp/hllspark_bench_pages_{2_000_000}"
+    if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        hio.generate_pages(spark, 2_000_000, num_partitions=2 * CPUS).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
 
     queries = {
         "q0_pages_2m_urls_by_lang": lambda: agg.approx_distinct(

@@ -77,9 +77,7 @@ def _planes(dim: int, n_planes: int, seed: int):
     import numpy as np
 
     rng = np.random.default_rng(
-        np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-        + np.uint64(dim) * np.uint64(1013)
-        + np.uint64(n_planes)
+        (seed * 0x9E3779B97F4A7C15 + dim * 1013 + n_planes) % (1 << 64)
     )
     return rng.uniform(-1.0, 1.0, size=(n_planes, dim)).round(6)
 
