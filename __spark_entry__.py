@@ -387,6 +387,57 @@ def _q_frame_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_ann_ivf_top3(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with nprobe == n_centroids probes every cell, so the result
+    must equal exact brute-force cosine top-3 row for row — a full
+    value-matched oracle for the IVF scale path."""
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        similarity.ivf_top_k(
+            emb, queries_df, dim, k=3, n_centroids=8, nprobe=8
+        )
+        .select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _q_sketch_rollup_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over sketch columns: fine-grain (event_type) sketches
+    re-merged to every rollup grain without rescanning events; every grain's
+    estimate within the 3-sigma bound of the exact distinct count."""
+    ev = _t(spark, sf, "events")
+    fine = agg.sketch_by(ev, "user_id", ["event_type"], p=_P)
+    roll = agg.sketch_rollup(fine, ["event_type"])
+    exact_g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact")).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    exact = exact_g.unionByName(exact_all)
+    j = roll.alias("r").join(
+        exact.alias("e"), F.expr("r.event_type <=> e.event_type")
+    )
+    return j.select(
+        F.col("r.grouping_set_id").alias("grouping_set_id"),
+        F.col("r.event_type").alias("event_type"),
+        (
+            (F.abs(F.col("r.distinct_estimate") - F.col("e.exact")) / F.col("e.exact"))
+            <= F.lit(_BOUND)
+        )
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("grouping_set_id", "event_type")
+
+
 def _q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN recall vs brute-force top-5 (deterministic seeded
     hyperplanes); the scale path must recover most true neighbors."""
@@ -574,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_dims": _q_multimodal_feature_dims,
         "frame_sample_counts": _q_frame_sample_counts,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_ivf_top3": _q_ann_ivf_top3,
+        "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
         "text_stats_by_lang": _q_text_stats_by_lang,
@@ -669,6 +722,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE r.range % 3 = 2 ORDER BY media_id"
         ),
         "ann_lsh_recall": "SELECT 1 AS lsh_recall_ok",
+        "ann_ivf_top3": (
+            "SELECT a.vec_id AS query_id, b.vec_id, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < 3 "
+            "QUALIFY rank <= 3 ORDER BY query_id, rank"
+        ),
+        "sketch_rollup_within_bound": (
+            "SELECT 0 AS grouping_set_id, event_type, 1 AS within_bound "
+            "FROM events GROUP BY event_type "
+            "UNION ALL SELECT 1, CAST(NULL AS VARCHAR), 1 "
+            "ORDER BY grouping_set_id, event_type"
+        ),
         "winnow_fingerprint_props": (
             "SELECT doc_id, 1 AS winnow_ok FROM documents WHERE doc_id < 100 "
             "ORDER BY doc_id"

@@ -396,6 +396,88 @@ def merge_sketches(
     return df.groupBy(*keys).agg(merge(F.col(sketch_col)).alias(sketch_col))
 
 
+def estimate_grouping_sets(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    sketch_col: str = _SKETCH_COL,
+    algo: str = "hll",
+    m_bits: int = 3,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """ROLLUP / CUBE / GROUPING SETS over sketch columns: re-aggregate an
+    already-built fine-grain sketch table (output of ``sketch_by``) to
+    every requested grouping set WITHOUT rescanning the base data — the
+    sketch monoid makes coarser grains a merge of the fine rows, so at
+    10^12-row scale the base table is read exactly once no matter how many
+    grains are asked for (reference analogue: one merge() per pair,
+    HyperLogLogLog.hpp:192-283, lifted to a lattice of grains).
+
+    Each set must be a subset of the fine-grain keys present in ``df``.
+    Output: union of all grains; keys absent from a grain are NULL;
+    ``grouping_set_id`` is the index into ``sets``.
+    """
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    parts = []
+    for gid, s in enumerate(sets):
+        merged = with_estimate(
+            merge_sketches(df, list(s), sketch_col, algo, m_bits),
+            sketch_col,
+            estimate_col,
+        )
+        cols = [
+            (F.col(k) if k in s else F.lit(None)).cast(
+                dict(df.dtypes).get(k, "string")
+            ).alias(k)
+            for k in all_keys
+        ]
+        parts.append(
+            merged.select(
+                F.lit(gid).alias("grouping_set_id"), *cols, F.col(estimate_col)
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def sketch_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = _SKETCH_COL,
+    algo: str = "hll",
+    m_bits: int = 3,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """ROLLUP(k1, k2, ...) over sketch rows: (k1..kn), (k1..kn-1), ..., ()."""
+    sets = [list(keys)[:i] for i in range(len(keys), -1, -1)]
+    return estimate_grouping_sets(df, sets, sketch_col, algo, m_bits, estimate_col)
+
+
+def sketch_cube(
+    df: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = _SKETCH_COL,
+    algo: str = "hll",
+    m_bits: int = 3,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """CUBE(k1, k2, ...) over sketch rows: every subset of keys."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [
+        list(c)
+        for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return estimate_grouping_sets(df, sets, sketch_col, algo, m_bits, estimate_col)
+
+
 def approx_distinct(
     df: DataFrame,
     value_col: str,

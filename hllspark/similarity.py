@@ -4,9 +4,14 @@
                            baseline.  Query set is broadcast (small side);
                            dot products are native SQL (zip_with/aggregate,
                            codegen'd), top-k via window over partial top-ks.
-- lsh_top_k              : random-hyperplane (sign) LSH buckets — the scale
-                           path: candidates share at least one band bucket;
-                           exact cosine re-rank on candidates only.
+- lsh_top_k              : random-hyperplane (sign) LSH buckets — scale
+                           path A: candidates share at least one band
+                           bucket; exact cosine re-rank on candidates only.
+- ivf_top_k              : inverted-file index — scale path B: spherical
+                           k-means cells fit on a bounded sample, corpus
+                           bucketed by nearest cell, queries probe their
+                           nprobe nearest cells; nprobe == n_centroids
+                           degrades gracefully to exact brute force.
 - near_duplicates_by_cosine : all pairs above a cosine threshold via the
                            same LSH bucketing (embedding near-dup dedup).
 
@@ -16,6 +21,7 @@ xxhash64-expression trick used everywhere else — no RNG state, no Python.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -177,6 +183,121 @@ def lsh_top_k(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def fit_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 8,
+):
+    """Deterministic spherical k-means on a bounded driver-side sample.
+
+    The sample is `orderBy(xxhash64(json(vec))).limit(sample_rows)` — Spark
+    plans that as TakeOrdered (per-partition top-k + driver merge, NO full
+    sort shuffle), so the collect is O(sample_rows) regardless of corpus
+    size; everything downstream of the fitted centroids stays distributed.
+    Returns a unit-normalized numpy float64 matrix (n_centroids, dim).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64(F.to_json(F.struct("v"))))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    # k-means++-lite init: first pick seeded, then iteratively farthest point
+    idx = [int(rng.integers(len(X)))]
+    for _ in range(1, k):
+        d = 1.0 - np.max(X @ X[idx].T, axis=1)  # cosine distance to nearest
+        idx.append(int(np.argmax(d)))
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            else:  # empty cell: reseed to the globally worst-served point
+                C[c] = X[np.argmin(np.max(X @ C.T, axis=1))]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _assign_cells_udf(centroids, nprobe: int):
+    """Arrow-batched nearest-centroid assignment: one numpy matmul per
+    batch (no per-row Python).  Returns the nprobe nearest cell ids."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    n = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return assign
+
+
+def ivf_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to sign-LSH.  Fit centroids once (bounded sample), assign every corpus
+    vector to its nearest cell, assign each query to its nprobe nearest
+    cells, equi-join on cell id, exact cosine re-rank inside the probed
+    cells.  With nprobe == n_centroids the probed cells cover the whole
+    corpus and the result equals brute force exactly.
+
+    At 10^12 scale: the corpus side can be written bucketed/partitioned by
+    `__cell`, making the probe join a partition-pruned scan of nprobe/
+    n_centroids of the data instead of a full pass.
+    """
+    C = fit_centroids(
+        corpus, dim, n_centroids, vec_col, sample_rows=sample_rows, seed=seed
+    )
+    one_cell = _assign_cells_udf(C, 1)
+    probe_cells = _assign_cells_udf(C, nprobe)
+    c = corpus.select(
+        id_col, vec_col, F.element_at(one_cell(F.col(vec_col)), 1).alias("__cell")
+    )
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(probe_cells(F.col(query_vec_col))).alias("__cell"),
+    )
+    cand = c.join(F.broadcast(q), "__cell").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def near_duplicates_by_cosine(

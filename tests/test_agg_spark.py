@@ -141,3 +141,35 @@ def test_cross_check_spark_builtin(spark, events):
         F.approx_count_distinct("user_id", rsd=0.02)
     ).first()[0]
     assert abs(ours - spark_est) / spark_est < 0.1
+
+
+def test_sketch_rollup_matches_direct(spark, events):
+    """Rollup grains re-merged from fine sketches == sketches built
+    directly at that grain (same registers -> identical estimates)."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    fine = agg.sketch_by(ev, "user_id", ["event_type", "day"], p=10)
+    roll = agg.sketch_rollup(fine, ["event_type", "day"], estimate_col="est")
+
+    direct = agg.with_estimate(
+        agg.sketch_by(ev, "user_id", ["event_type"], p=10), estimate_col="est"
+    )
+    got = {
+        r["event_type"]: r["est"]
+        for r in roll.where("grouping_set_id = 1").collect()
+    }
+    want = {r["event_type"]: r["est"] for r in direct.collect()}
+    assert got == want
+
+    g = roll.where("grouping_set_id = 2").collect()
+    assert len(g) == 1 and g[0]["event_type"] is None and g[0]["day"] is None
+    want_g = agg.with_estimate(
+        agg.sketch_by(ev, "user_id", p=10), estimate_col="est"
+    ).collect()[0]["est"]
+    assert g[0]["est"] == want_g
+
+
+def test_sketch_cube_grain_count(spark, events):
+    ev = events.withColumn("day", F.to_date("ts"))
+    fine = agg.sketch_by(ev, "user_id", ["event_type", "day"], p=10)
+    cube = agg.sketch_cube(fine, ["event_type", "day"], estimate_col="est")
+    assert cube.select("grouping_set_id").distinct().count() == 4

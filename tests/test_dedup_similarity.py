@@ -142,6 +142,57 @@ def test_lsh_top_k_recall(spark, emb):
     assert hits / total >= 0.4, f"recall {hits}/{total}"
 
 
+def test_ivf_probe_all_equals_brute_force(spark, emb):
+    """nprobe == n_centroids covers every cell -> IVF must equal exact
+    brute-force top-k, row for row (same deterministic tie-break)."""
+    corpus = emb.limit(300).cache()
+    queries = corpus.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(corpus.first()["embedding"])
+    exact = similarity.brute_force_top_k(corpus, queries, k=5)
+    ivf = similarity.ivf_top_k(
+        corpus, queries, dim=dim, k=5, n_centroids=8, nprobe=8
+    )
+    e = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact.collect())
+    a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in ivf.collect())
+    assert e == a
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """nprobe < n_centroids: self always recalled (its own cell is the
+    nearest probe), and recall@5 stays high on the clustered fixture."""
+    corpus = emb.limit(500).cache()
+    queries = corpus.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(corpus.first()["embedding"])
+    exact = similarity.brute_force_top_k(corpus, queries, k=5).collect()
+    approx = similarity.ivf_top_k(
+        corpus, queries, dim=dim, k=5, n_centroids=8, nprobe=3
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in exact_sets:
+        assert qid in approx_sets.get(qid, set())
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.6
+
+
+def test_fit_centroids_deterministic(spark, emb):
+    corpus = emb.limit(200)
+    dim = len(corpus.first()["embedding"])
+    c1 = similarity.fit_centroids(corpus, dim, n_centroids=8, seed=7)
+    c2 = similarity.fit_centroids(corpus, dim, n_centroids=8, seed=7)
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.shape == (8, dim)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
 def test_embedding_near_duplicates(spark, emb):
     # inject a known near-pair: vec + tiny perturbation
     base = emb.limit(50)
