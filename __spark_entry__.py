@@ -387,6 +387,55 @@ def _q_frame_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def _q_hllzstd_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """zstd-compressed sketch variant (reference HyperLogLogZstd.hpp):
+    build grouped sketches through the zstd codec, estimates must land
+    within the same 3-sigma bound as dense HLL."""
+    ev = _t(spark, sf, "events")
+    sk = agg.sketch_by(ev, "user_id", ["event_type"], p=_P, algo="hllzstd")
+    est = agg.with_estimate(sk).select("event_type", "distinct_estimate")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact"))
+    return _within_bound(est, exact, "event_type")
+
+
+def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's jr datatype end-to-end: derive (j, r) pairs from
+    event user_ids with the exact reference split (j = top-p bits of the
+    Fibonacci hash, r = clz+1 of the raw hash), build from pairs, estimate.
+    Must equal the estimate from building over the values directly, and
+    stay within bound of the exact count."""
+    ev = _t(spark, sf, "events")
+    v = F.xxhash64(F.col("user_id"))
+    j_expr, r_expr = agg._jr_columns_sql(v)(_P)
+    jr = ev.where(F.col("user_id").isNotNull()).select(
+        j_expr.alias("j"), r_expr.alias("r")
+    )
+    sk = agg.sketch_from_jr(jr, p=_P)
+    est = agg.with_estimate(sk).select("distinct_estimate")
+    # direct build over the values: identical register states -> the numpy
+    # estimator must produce the bit-identical double (the SQL estimator
+    # differs in float summation order, so compare sketch-to-sketch)
+    direct = agg.with_estimate(agg.sketch_by(ev, "user_id", p=_P)).select(
+        F.col("distinct_estimate").alias("direct_estimate")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact"))
+    return (
+        est.crossJoin(direct)
+        .crossJoin(exact)
+        .select(
+            (F.col("distinct_estimate") == F.col("direct_estimate"))
+            .cast("int")
+            .alias("jr_equals_direct"),
+            (
+                (F.abs(F.col("distinct_estimate") - F.col("exact")) / F.col("exact"))
+                <= F.lit(_BOUND)
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
 def _q_ann_ivf_top3(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with nprobe == n_centroids probes every cell, so the result
     must equal exact brute-force cosine top-3 row for row — a full
@@ -627,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_top3": _q_ann_ivf_top3,
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
+        "hllzstd_within_bound": _q_hllzstd_within_bound,
+        "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
         "text_stats_by_lang": _q_text_stats_by_lang,
@@ -737,6 +788,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type "
             "UNION ALL SELECT 1, CAST(NULL AS VARCHAR), 1 "
             "ORDER BY grouping_set_id, event_type"
+        ),
+        "hllzstd_within_bound": (
+            "SELECT event_type, 1 AS within_bound FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "jr_build_estimate": (
+            "SELECT 1 AS jr_equals_direct, 1 AS within_bound"
         ),
         "winnow_fingerprint_props": (
             "SELECT doc_id, 1 AS winnow_ok FROM documents WHERE doc_id < 100 "

@@ -279,10 +279,15 @@ def _approx_distinct_sql(df, value_col, keys, p, hash_mode, estimate_col):
 
 
 def _sketch_by_sql(df, value_col, keys, p, algo, m_bits, hash_mode):
-    spark = df.sparkSession
     maxed = _maxed_registers_sql(df, value_col, keys, p, hash_mode)
+    return _assemble_sketches(
+        df.sparkSession, maxed, keys, _key_schema(df, keys), p, algo, m_bits
+    )
 
-    key_schema = _key_schema(df, keys)
+
+def _assemble_sketches(spark, maxed, keys, key_schema, p, algo, m_bits):
+    """groupBy(keys).applyInPandas over maxed (j, r) rows — at most m tiny
+    rows per group reach Python regardless of input size."""
     out_schema = (key_schema + ", " if key_schema else "") + f"{_SKETCH_COL} binary"
     group_cols = list(keys) if keys else [_GLOBAL_KEY]
     if not keys:
@@ -394,6 +399,39 @@ def merge_sketches(
     if not keys:
         return df.agg(merge(F.col(sketch_col)).alias(sketch_col))
     return df.groupBy(*keys).agg(merge(F.col(sketch_col)).alias(sketch_col))
+
+
+def sketch_from_jr(
+    df: DataFrame,
+    j_col: str = "j",
+    r_col: str = "r",
+    keys: Sequence[str] | None = None,
+    p: int = 14,
+    algo: str = "hll",
+    m_bits: int = 3,
+) -> DataFrame:
+    """Build sketches from pre-hashed (j, r) register-update pairs — the
+    reference's `jr` datatype (measure.hpp:49-67; generated per
+    inputgenerator.cpp:76-99), which benchmarks the data-structure layer
+    with hashing factored out.  j must lie in [0, 2^p); r in [0, 63].
+    Same bounded plan as the value path: native groupBy(keys, j).max(r)
+    (map-side combine), then <= m rows per group assemble to sketch bytes.
+    """
+    keys = list(keys or [])
+    _validate(p, algo, "prehashed", "sql")
+    maxed = (
+        df.where(F.col(j_col).isNotNull() & F.col(r_col).isNotNull())
+        .select(
+            *keys,
+            F.col(j_col).cast("long").alias(_J_COL),
+            F.col(r_col).cast("integer").alias(_R_COL),
+        )
+        .groupBy(*keys, _J_COL)
+        .agg(F.max(_R_COL).alias(_R_COL))
+    )
+    return _assemble_sketches(
+        df.sparkSession, maxed, keys, _key_schema(df, keys), p, algo, m_bits
+    )
 
 
 def estimate_grouping_sets(

@@ -173,3 +173,46 @@ def test_sketch_cube_grain_count(spark, events):
     fine = agg.sketch_by(ev, "user_id", ["event_type", "day"], p=10)
     cube = agg.sketch_cube(fine, ["event_type", "day"], estimate_col="est")
     assert cube.select("grouping_set_id").distinct().count() == 4
+
+
+def test_sketch_from_jr_matches_numpy_oracle(spark):
+    """The reference's jr datatype (measure.hpp:49-67): pre-hashed register
+    pairs drawn per inputgenerator.cpp:76-99 (j ~ U[0,m), r geometric),
+    built distributed, must equal the numpy scatter-max oracle exactly."""
+    import pandas as pd
+
+    p, n = 10, 5000
+    m = 1 << p
+    rng = np.random.default_rng(0x11E3EA10)
+    j = rng.integers(0, m, n)
+    r = np.minimum(np.ceil(-np.log2(1.0 - rng.random(n))), 63).astype(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"j": j, "r": r})).repartition(8)
+    sk = agg.sketch_from_jr(df, p=p).collect()[0]["sketch"]
+    expect = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(expect, j, r.astype(np.uint8))
+    np.testing.assert_array_equal(sketch.decode(sk), expect)
+
+
+def test_sketch_from_jr_grouped_and_algos(spark):
+    import pandas as pd
+
+    p = 8
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 2000).astype(str),
+            "j": rng.integers(0, 1 << p, 2000),
+            "r": rng.integers(1, 40, 2000),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    for algo in ("hll", "hlll", "hllzstd"):
+        rows = agg.sketch_from_jr(df, keys=["g"], p=p, algo=algo).collect()
+        assert len(rows) == 3
+        for row in rows:
+            sub = pdf[pdf.g == row["g"]]
+            expect = np.zeros(1 << p, dtype=np.uint8)
+            np.maximum.at(
+                expect, sub.j.to_numpy(), sub.r.to_numpy().astype(np.uint8)
+            )
+            np.testing.assert_array_equal(sketch.decode(row["sketch"]), expect)
