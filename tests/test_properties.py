@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) — the reference's randomized-oracle
+strategy (test.cpp:194-272, 322-423, 1130-1184 run thousands of random ops
+against std::vector / std::map / plain-HLL oracles) expressed as properties
+over generated inputs instead of fixed seeds.
+
+Pure numpy cores only — no Spark session, so this file stays fast.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from hllspark import hll, hlll, sketch
+
+P = 6  # m = 64: small enough for exhaustive-ish exploration
+M = 1 << P
+
+jr_seq = st.lists(
+    st.tuples(st.integers(0, M - 1), st.integers(1, 63)), max_size=120
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(jr_seq)
+def test_hlll_state_equals_hll_after_every_add(seq):
+    """test.cpp:1078-1126 as a property: after EVERY add, every HLLL policy
+    variant has registers and estimate identical to plain HLL, and the
+    default policy's bitSize is the provable minimum."""
+    dense = hll.empty(P)
+    sms = {
+        flags: hlll.HLLLStateMachine(M, 3, flags)
+        for flags in (
+            hlll.COMPRESS_DEFAULT,
+            hlll.COMPRESS_WHEN_ALWAYS | hlll.COMPRESS_TYPE_INCREASE,
+            hlll.COMPRESS_BOTTOM,
+        )
+    }
+    for j, r in seq:
+        dense[j] = max(dense[j], r)
+        for flags, sm in sms.items():
+            sm.add_jr(j, r)
+            np.testing.assert_array_equal(sm.registers(), dense)
+            assert sm.estimate() == hll.estimate(dense)
+    default = sms[hlll.COMPRESS_DEFAULT]
+    assert default.bit_size() == hlll.minimum_bits(dense, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(jr_seq, jr_seq)
+def test_merge_commutative_associative_equals_union(a, b):
+    """Merge semantics (test.cpp:672-736, 1130-1184): merge(A, B) ==
+    union-fed sketch, commutative, and idempotent on overlap."""
+    A, B, U = hll.empty(P), hll.empty(P), hll.empty(P)
+    for j, r in a:
+        A[j] = max(A[j], r)
+        U[j] = max(U[j], r)
+    for j, r in b:
+        B[j] = max(B[j], r)
+        U[j] = max(U[j], r)
+    np.testing.assert_array_equal(hll.merge(A, B), U)
+    np.testing.assert_array_equal(hll.merge(B, A), U)
+    np.testing.assert_array_equal(hll.merge(U, A), U)
+
+    ha = hlll.HLLLStateMachine(M)
+    hb = hlll.HLLLStateMachine(M)
+    for j, r in a:
+        ha.add_jr(j, r)
+    for j, r in b:
+        hb.add_jr(j, r)
+    merged = ha.merge(hb)
+    np.testing.assert_array_equal(merged.registers(), U)
+    assert merged.bit_size() == hlll.minimum_bits(U, 3)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.lists(st.integers(0, (1 << 12) - 1), min_size=0, max_size=200),
+)
+def test_pack_unpack_round_trip(width, values):
+    """PackedVector get/set equivalence (test.cpp:25-318): arbitrary widths
+    incl. word-boundary crossing round-trip losslessly."""
+    vals = np.array([v & ((1 << width) - 1) for v in values], dtype=np.uint64)
+    buf = sketch.pack_uints(vals, width)
+    assert len(buf) == (len(vals) * width + 7) // 8
+    out = sketch.unpack_uints(buf, len(vals), width)
+    np.testing.assert_array_equal(out, vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(jr_seq, st.sampled_from(["hll", "hlll", "hllzstd"]))
+def test_encode_decode_round_trip_property(seq, algo):
+    regs = hll.empty(P)
+    for j, r in seq:
+        regs[j] = max(regs[j], r)
+    buf = sketch.encode(regs, algo)
+    np.testing.assert_array_equal(sketch.decode(buf), regs)
+    if algo == "hlll":
+        # serialized HLLL reports exactly the reference's minimal bit size
+        assert sketch.bit_size(buf) == hlll.minimum_bits(regs, 3)
