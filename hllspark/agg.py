@@ -471,7 +471,16 @@ def estimate_grouping_sets(
     Each set must be a subset of the fine-grain keys present in ``df``.
     Output: union of all grains; keys absent from a grain are NULL;
     ``grouping_set_id`` is the index into ``sets``.
+
+    The fine sketch table is persisted (it is tiny by design — one row per
+    fine key combination) so the grain branches share one InMemoryRelation
+    instead of each re-deriving it from the base scan (verified: without
+    this the union plan contains one full base-table scan PER grain).
     """
+    from pyspark import StorageLevel
+
+    if df.storageLevel == StorageLevel.NONE:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     all_keys: list[str] = []
     for s in sets:
         for k in s:
