@@ -195,3 +195,80 @@ def resume_remaining(writer: SnapshotWriter, all_units: list[str]) -> list[str]:
     committed snapshot — no input re-scan)."""
     done = writer.committed_units()
     return [u for u in all_units if u not in done]
+
+
+# ---------------------------------------------------------------------------
+# reference wire formats (measure.hpp:16-67, inputgenerator.cpp:31-99)
+# ---------------------------------------------------------------------------
+# The reference exchanges data between inputgenerator and measure as raw
+# binary on a pipe: uint64 streams and (j, r) pairs big-endian on the wire
+# (htonll/htonl, common.hpp:38-50), strings as contiguous fixed-length
+# byte blobs.  These codecs read/write that exact format so reference-
+# generated fixtures can be replayed through the Spark engine (and ours
+# through the reference CLI).  Generator parity note: the *values* the
+# reference emits depend on libstdc++'s uniform_int_distribution, which is
+# implementation-defined — the portable contract is the wire format, not
+# the stream contents.
+
+
+def wire_encode_uint64(values) -> bytes:
+    """n big-endian u64s, the `uint64` datatype blob (measure.hpp:16-28)."""
+    import numpy as np
+
+    return np.asarray(values, dtype=np.uint64).astype(">u8").tobytes()
+
+
+def wire_decode_uint64(buf: bytes):
+    import numpy as np
+
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def wire_encode_str(strings, length: int) -> bytes:
+    """n fixed-length byte strings, contiguous (measure.hpp:32-45)."""
+    out = bytearray()
+    for s in strings:
+        b = s.encode() if isinstance(s, str) else bytes(s)
+        if len(b) != length:
+            raise ValueError(f"string length {len(b)} != {length}")
+        out += b
+    return bytes(out)
+
+
+def wire_decode_str(buf: bytes, length: int) -> list[str]:
+    if len(buf) % length:
+        raise ValueError("blob length not a multiple of string length")
+    return [
+        buf[i : i + length].decode() for i in range(0, len(buf), length)
+    ]
+
+
+def wire_encode_jr(j, r) -> bytes:
+    """n (j, r) pairs of big-endian u32s (measure.hpp:49-67)."""
+    import numpy as np
+
+    j = np.asarray(j, dtype=np.uint32)
+    r = np.asarray(r, dtype=np.uint32)
+    inter = np.empty(2 * len(j), dtype=np.uint32)
+    inter[0::2] = j
+    inter[1::2] = r
+    return inter.astype(">u4").tobytes()
+
+
+def wire_decode_jr(buf: bytes):
+    import numpy as np
+
+    flat = np.frombuffer(buf, dtype=">u4").astype(np.uint32)
+    return flat[0::2], flat[1::2]
+
+
+def wire_jr_df(spark: SparkSession, buf: bytes, num_partitions: int = 8) -> DataFrame:
+    """A (j, r) DataFrame from a reference jr blob, ready for
+    agg.sketch_from_jr.  Decoded driver-side (reference fixtures are
+    small); a petabyte-scale blob store would instead land as parquet and
+    skip the wire format entirely."""
+    import pandas as pd
+
+    j, r = wire_decode_jr(buf)
+    pdf = pd.DataFrame({"j": j.astype("int64"), "r": r.astype("int64")})
+    return spark.createDataFrame(pdf).repartition(num_partitions)

@@ -161,3 +161,37 @@ def test_session_builders():
     opts2 = b2._options
     assert opts2["spark.io.compression.codec"] == "zstd"
     assert "auto" not in opts2.values()
+
+
+def test_wire_formats_round_trip(spark):
+    """Reference wire-format codecs (measure.hpp:16-67): big-endian u64 /
+    fixed-len str / big-endian u32 (j, r) pairs round-trip, and a jr blob
+    replays through sketch_from_jr to the exact numpy-oracle registers."""
+    import numpy as np
+    from hllspark import agg, io as hio, sketch
+
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1 << 63, 100, dtype=np.uint64)
+    blob = hio.wire_encode_uint64(xs)
+    assert len(blob) == 800
+    assert blob[:8] == int(xs[0]).to_bytes(8, "big")  # big-endian on wire
+    np.testing.assert_array_equal(hio.wire_decode_uint64(blob), xs)
+
+    ss = ["abcd8901", "ZYXW4321"]
+    np.testing.assert_array_equal(
+        hio.wire_decode_str(hio.wire_encode_str(ss, 8), 8), ss
+    )
+
+    p = 8
+    j = rng.integers(0, 1 << p, 500, dtype=np.uint32)
+    r = rng.integers(1, 40, 500, dtype=np.uint32)
+    jr_blob = hio.wire_encode_jr(j, r)
+    j2, r2 = hio.wire_decode_jr(jr_blob)
+    np.testing.assert_array_equal(j2, j)
+    np.testing.assert_array_equal(r2, r)
+
+    df = hio.wire_jr_df(spark, jr_blob, num_partitions=4)
+    sk = agg.sketch_from_jr(df, p=p).collect()[0]["sketch"]
+    expect = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(expect, j.astype(np.int64), r.astype(np.uint8))
+    np.testing.assert_array_equal(sketch.decode(sk), expect)
