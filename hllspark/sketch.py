@@ -113,6 +113,15 @@ def encode(M: np.ndarray, algo: str = "hll", m_bits: int = 3) -> bytes:
     raise ValueError(f"unknown sketch algo {algo!r}")
 
 
+def convert(buf: bytes, algo: str, m_bits: int = 3) -> bytes:
+    """Lossless conversion between sketch formats (reference
+    toHyperLogLog/fromHyperLogLog, HyperLogLogLog.hpp:308-331, round-trip
+    proven in test.cpp:1403-1487): decode to full registers, re-encode in
+    the target format.  Registers, estimate, and (for HLLL) the minimal
+    bit size are all preserved exactly."""
+    return encode(decode(buf), algo, m_bits)
+
+
 def decode(buf: bytes) -> np.ndarray:
     """Decode any sketch format back to uint8[m] registers."""
     magic, version, algo, p, extra = _HEADER.unpack_from(buf, 0)

@@ -97,3 +97,23 @@ def test_encode_decode_round_trip_property(seq, algo):
     if algo == "hlll":
         # serialized HLLL reports exactly the reference's minimal bit size
         assert sketch.bit_size(buf) == hlll.minimum_bits(regs, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(jr_seq, st.sampled_from(["hll", "hlll", "hllzstd"]),
+       st.sampled_from(["hll", "hlll", "hllzstd"]))
+def test_convert_round_trip_property(seq, a, b):
+    """Format conversions (reference toHyperLogLog/fromHyperLogLog,
+    test.cpp:1403-1487): a -> b -> a preserves registers and, for HLLL,
+    the minimal serialized bit size."""
+    regs = hll.empty(P)
+    for j, r in seq:
+        regs[j] = max(regs[j], r)
+    buf_a = sketch.encode(regs, a)
+    buf_b = sketch.convert(buf_a, b)
+    assert sketch.decode_info(buf_b)["algo"] == b
+    np.testing.assert_array_equal(sketch.decode(buf_b), regs)
+    back = sketch.convert(buf_b, a)
+    np.testing.assert_array_equal(sketch.decode(back), regs)
+    if a == "hlll":
+        assert sketch.bit_size(back) == hlll.minimum_bits(regs, 3)
