@@ -7,14 +7,48 @@ KLL, t-digest) and web-scale training-data operators (dedup, similarity,
 text analysis) the north_rule calls for.
 
 Layering:
-    hashing   — vectorized reference-parity hash chain (farmhash/fibonacci)
-    hll       — numpy register cores (build/merge/estimate)
-    hlll      — HyperLogLogLog compression (offsets + exceptions + base)
-    sketch    — deterministic binary serialization of all sketch formats
-    agg       — Spark operators: sketch_by / merge_sketches / approx_distinct
+    hashing    — vectorized reference-parity hash chain (farmhash/fibonacci)
+    hll        — numpy register cores (build/merge/estimate)
+    hlll       — HyperLogLogLog compression (offsets + exceptions + base)
+    sketch     — deterministic binary serialization + format conversion
+    agg        — Spark operators: sketch_by / approx_distinct /
+                 merge_sketches / sketch_from_jr / rollup / cube
+    sketches   — count-min, Bloom, KLL, t-digest mergeable aggregates
+    streaming  — Structured Streaming sketch maintenance
+    io         — pages fixture, snapshot/resume, reference wire formats
+    dedup / similarity / text / multimodal — training-data operators
+    session    — Spark configs for local dev through cluster runs
 """
 
-from . import agg, hashing, hll, hlll, sketch
+from . import (
+    agg,
+    dedup,
+    hashing,
+    hll,
+    hlll,
+    io,
+    multimodal,
+    session,
+    sketch,
+    sketches,
+    similarity,
+    streaming,
+    text,
+)
 
-__all__ = ["agg", "hashing", "hll", "hlll", "sketch"]
+__all__ = [
+    "agg",
+    "dedup",
+    "hashing",
+    "hll",
+    "hlll",
+    "io",
+    "multimodal",
+    "session",
+    "sketch",
+    "sketches",
+    "similarity",
+    "streaming",
+    "text",
+]
 __version__ = "0.1.0"
