@@ -164,6 +164,51 @@ def _statemachine(args, p, dt, data, flags, mode):
             sm.compress_count, sm.rebase_count)
 
 
+def _spark_baseline(args, p, dt, data, mode):
+    """Comparison baselines through the same CLI protocol — the reference
+    ships these as separate binaries (datasketches/measure.cpp,
+    zetasketch Measure.java): apache-hll = Spark's DataSketches
+    hll_sketch_agg/hll_union; hllpp = approx_count_distinct (HLL++, the
+    ZetaSketch analogue, sketch bytes not exposed -> bitsize 0)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import session
+
+    spark = session.configured_builder("hllspark-measure-baseline").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if dt == "uint64":
+        pdf = pd.DataFrame({"v": np.asarray(data, dtype=np.uint64).view(np.int64)})
+    else:
+        pdf = pd.DataFrame({"v": list(data)})
+    df = spark.createDataFrame(pdf).cache()
+    df.count()
+    lg = min(max(p, 4), 21)
+    t0 = time.perf_counter()
+    if args.algorithm == "hllpp":
+        est = float(df.agg(F.approx_count_distinct("v")).collect()[0][0])
+        bits = 0
+    elif mode == "query":
+        row = df.agg(
+            F.expr(f"hll_sketch_agg(v, {lg})").alias("s")
+        ).select(
+            F.expr("hll_sketch_estimate(s)").alias("e"), F.length("s").alias("b")
+        ).collect()[0]
+        est, bits = float(row["e"]), int(row["b"]) * 8
+    else:
+        parity = F.xxhash64("v") % 2 == 0
+        halves = df.select(
+            F.when(parity, F.lit(0)).otherwise(F.lit(1)).alias("h"), "v"
+        ).groupBy("h").agg(F.expr(f"hll_sketch_agg(v, {lg})").alias("s"))
+        row = halves.agg(F.expr("hll_union_agg(s)").alias("u")).select(
+            F.expr("hll_sketch_estimate(u)").alias("e"), F.length("u").alias("b")
+        ).collect()[0]
+        est, bits = float(row["e"]), int(row["b"]) * 8
+    seconds = time.perf_counter() - t0
+    _report(seconds, est, bits, 0, 0)
+    spark.stop()
+
+
 def _spark(args, p, dt, data, mode):
     from pyspark.sql import SparkSession
 
@@ -214,7 +259,10 @@ def main(argv=None) -> int:
     ap.add_argument("mode", choices=["query", "merge"])
     ap.add_argument(
         "algorithm",
-        choices=["hyperloglog", "hyperloglogzstd", "hyperlogloglog", "hashonly"],
+        choices=[
+            "hyperloglog", "hyperloglogzstd", "hyperlogloglog", "hashonly",
+            "apache-hll", "hllpp",  # comparison baselines (§2.6), spark-only
+        ],
     )
     ap.add_argument("datatype", choices=["uint64", "str", "jr"])
     ap.add_argument("m", type=int)
@@ -246,6 +294,16 @@ def main(argv=None) -> int:
     p = args.m.bit_length() - 1
     flags = _FLAGS[args.flags]
     data = _read_stdin(args.datatype, args.n, args.length)
+
+    if args.algorithm in ("apache-hll", "hllpp"):
+        if args.datatype == "jr":
+            print(f"{args.algorithm} does not support jr datatype!", file=sys.stderr)
+            return 1
+        if args.mode == "merge" and args.algorithm == "hllpp":
+            print("hllpp does not support merging!", file=sys.stderr)
+            return 1
+        _spark_baseline(args, p, args.datatype, data, args.mode)
+        return 0
 
     if args.engine == "statemachine":
         if args.algorithm != "hyperlogloglog":

@@ -86,3 +86,12 @@ def test_spark_engine_estimate_parity():
     )
     assert spark_rep["estimate"] == numpy_rep["estimate"]
     assert spark_rep["bitsize"] == numpy_rep["bitsize"]
+
+
+def test_apache_hll_baseline():
+    """Comparison baseline through the same CLI protocol (reference ships
+    these as separate binaries): DataSketches HLL via Spark built-ins."""
+    n, m = 20000, 4096
+    rep = _run((n, "uint64", 5), ["query", "apache-hll", "uint64", str(m), str(n)])
+    assert abs(rep["estimate"] - n) / n < 0.05
+    assert rep["bitsize"] > 0
