@@ -436,6 +436,32 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sketch_overlap_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation estimates from sketch columns only: distinct-user
+    union/intersection between the two alphabetically-first event types;
+    union within the 3-sigma bound, intersection within the looser
+    inclusion-exclusion envelope (~6 sigma of the union)."""
+    ev = _t(spark, sf, "events")
+    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").limit(2).collect()]
+    sk = agg.sketch_by(ev.where(F.col("event_type").isin(types)),
+                       "user_id", ["event_type"], p=_P)
+    a = sk.where(F.col("event_type") == types[0]).select(F.col("sketch").alias("sa"))
+    b = sk.where(F.col("event_type") == types[1]).select(F.col("sketch").alias("sb"))
+    ov = agg.with_overlap(a.crossJoin(b), "sa", "sb").select("overlap.*")
+    exact_u = (
+        ev.where(F.col("event_type").isin(types)).select("user_id").distinct().count()
+    )
+    ua = ev.where(F.col("event_type") == types[0]).select("user_id").distinct()
+    ub = ev.where(F.col("event_type") == types[1]).select("user_id").distinct()
+    exact_i = ua.join(ub, "user_id").count()
+    row = ov.collect()[0]
+    u_ok = abs(row["union"] - exact_u) / max(exact_u, 1) <= _BOUND
+    i_ok = abs(row["intersection"] - exact_i) <= 2 * _BOUND * max(row["union"], 1.0)
+    return spark.createDataFrame(
+        [(int(u_ok), int(i_ok))], "union_within_bound int, intersection_within_bound int"
+    )
+
+
 def _q_ann_ivf_top3(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN with nprobe == n_centroids probes every cell, so the result
     must equal exact brute-force cosine top-3 row for row — a full
@@ -677,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": _q_ann_ivf_top3,
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
         "hllzstd_within_bound": _q_hllzstd_within_bound,
+        "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -795,6 +822,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jr_build_estimate": (
             "SELECT 1 AS jr_equals_direct, 1 AS within_bound"
+        ),
+        "sketch_overlap_within_bound": (
+            "SELECT 1 AS union_within_bound, 1 AS intersection_within_bound"
         ),
         "winnow_fingerprint_props": (
             "SELECT doc_id, 1 AS winnow_ok FROM documents WHERE doc_id < 100 "

@@ -576,3 +576,34 @@ def approx_distinct(
 def with_estimate(df: DataFrame, sketch_col: str = _SKETCH_COL,
                   estimate_col: str = "distinct_estimate") -> DataFrame:
     return df.withColumn(estimate_col, estimate_udf(F.col(sketch_col)))
+
+
+def overlap_udf():
+    """Set-operation estimates from two sketch columns (Arrow-batched):
+    union native via register max; intersection by inclusion-exclusion
+    (error caveat in hll.overlap_estimates).  Factory: struct return types
+    need an active session to parse, so the UDF is built lazily."""
+
+    @F.pandas_udf(
+        "struct<a:double,b:double,union:double,intersection:double,jaccard:double>"
+    )
+    def _overlap(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        rows = [
+            _hll.overlap_estimates(_sketch.decode(x), _sketch.decode(y))
+            for x, y in zip(a, b)
+        ]
+        return pd.DataFrame(rows)
+
+    return _overlap
+
+
+def with_overlap(
+    df: DataFrame,
+    sketch_a: str,
+    sketch_b: str,
+    out_col: str = "overlap",
+) -> DataFrame:
+    """Adds a struct column {a, b, union, intersection, jaccard} estimated
+    from two sketch columns — e.g. join per-day sketch tables on a key and
+    estimate day-over-day distinct-user overlap without touching raw data."""
+    return df.withColumn(out_col, overlap_udf()(F.col(sketch_a), F.col(sketch_b)))

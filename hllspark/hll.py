@@ -96,6 +96,37 @@ def error_bound(p: int) -> float:
     return 1.04 / np.sqrt(1 << p)
 
 
+def p_for_error(rsd: float) -> int:
+    """Smallest precision p whose standard error 1.04/sqrt(2^p) <= rsd
+    (the rsd-style sizing Spark's approx_count_distinct uses)."""
+    if not 0 < rsd < 1:
+        raise ValueError("rsd must be in (0, 1)")
+    p = 4
+    while error_bound(p) > rsd and p < 18:
+        p += 1
+    return p
+
+
+def overlap_estimates(Ma: np.ndarray, Mb: np.ndarray) -> dict:
+    """Set-operation estimates from two mergeable sketches: union is native
+    (register max, exact on sketch states); intersection via
+    inclusion-exclusion |A∩B| = E(A) + E(B) - E(A∪B), whose absolute error
+    scales with the UNION's bound (can exceed 100% relative error for tiny
+    overlaps of large sets — callers needing tight intersections at low
+    Jaccard should use minhash signatures from hllspark.dedup instead).
+    Returns {a, b, union, intersection, jaccard}."""
+    ea, eb = float(estimate(Ma)), float(estimate(Mb))
+    eu = float(estimate(merge(Ma, Mb)))
+    inter = max(0.0, ea + eb - eu)
+    return {
+        "a": ea,
+        "b": eb,
+        "union": eu,
+        "intersection": inter,
+        "jaccard": inter / eu if eu > 0 else 0.0,
+    }
+
+
 def build_from_hashes(hashes: np.ndarray, p: int) -> np.ndarray:
     M = empty(p)
     return update_hashes(M, hashes)

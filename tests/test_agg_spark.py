@@ -216,3 +216,39 @@ def test_sketch_from_jr_grouped_and_algos(spark):
                 expect, sub.j.to_numpy(), sub.r.to_numpy().astype(np.uint8)
             )
             np.testing.assert_array_equal(sketch.decode(row["sketch"]), expect)
+
+
+def test_overlap_estimates_numpy():
+    """Inclusion-exclusion intersection: two sets with known 50% overlap."""
+    rng = np.random.default_rng(11)
+    p = 12
+    a_vals = rng.integers(0, 1 << 62, 40000, dtype=np.uint64)
+    b_vals = np.concatenate([a_vals[:20000],
+                             rng.integers(0, 1 << 62, 20000, dtype=np.uint64)])
+    from hllspark.hashing import fingerprint64
+    Ma = hll.build_from_hashes(fingerprint64(a_vals), p)
+    Mb = hll.build_from_hashes(fingerprint64(b_vals), p)
+    ov = hll.overlap_estimates(Ma, Mb)
+    assert abs(ov["union"] - 60000) / 60000 < 0.05
+    assert abs(ov["intersection"] - 20000) / 20000 < 0.15
+    assert 0.2 < ov["jaccard"] < 0.5  # true 1/3
+
+
+def test_with_overlap_spark(spark, events):
+    """Day-over-day distinct-user overlap from sketch columns only."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(2).collect()]
+    d = agg.sketch_by(ev.where(F.col("day").isin(days)), "user_id", ["day"], p=12)
+    a = d.where(F.col("day") == days[0]).select(F.col("sketch").alias("sa"))
+    b = d.where(F.col("day") == days[1]).select(F.col("sketch").alias("sb"))
+    row = agg.with_overlap(a.crossJoin(b), "sa", "sb").select("overlap.*").collect()[0]
+    exact_u = ev.where(F.col("day").isin(days)).select("user_id").distinct().count()
+    assert abs(row["union"] - exact_u) / exact_u < 0.1
+    assert row["intersection"] >= 0
+    assert 0 <= row["jaccard"] <= 1
+
+
+def test_p_for_error():
+    assert hll.p_for_error(0.01) == 14  # 1.04/sqrt(2^14) = 0.0081
+    assert hll.p_for_error(0.05) == 9
+    assert hll.error_bound(hll.p_for_error(0.02)) <= 0.02
