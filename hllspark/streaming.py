@@ -46,6 +46,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
+    LongType,
     StructField,
     StructType,
 )
@@ -224,3 +225,106 @@ def snapshot_sink(writer, lineage_extra: dict | None = None):
         writer.write_unit(batch_df, unit, lineage=lineage)
 
     return sink
+
+
+# ---------------------------------------------------------------------------
+# streaming deduplication (training-pipeline operator)
+# ---------------------------------------------------------------------------
+
+def dedup_stream(sdf: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Exact streaming dedup: emit only the FIRST occurrence of each key
+    across all micro-batches.  Spark's built-in ``dropDuplicates`` on a
+    stream keeps unbounded per-key state too — this version is expressed
+    through the same applyInPandasWithState machinery as our sketches so
+    the state store layout is uniform, and it needs no watermark (true
+    "seen forever" semantics; pair with withWatermark + the built-in when
+    bounded retention is acceptable).  State per key: one boolean row.
+    State is keyed BY the dedup key, so it shards across executors with
+    the shuffle and scales horizontally like any keyed stream."""
+    key_cols = list(key_cols)
+    out_schema = StructType(
+        [f for f in sdf.schema.fields if f.name in key_cols]
+        + [StructField("first_seen", LongType())]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        count = 0
+        for pdf in pdfs:
+            count += len(pdf)
+        if state.exists:
+            (prev,) = state.get
+            state.update((prev + count,))
+            return iter(())  # already emitted once
+        state.update((count,))
+        out = pd.DataFrame([dict(zip(key_cols, key))])
+        out["first_seen"] = count
+        return iter((out,))
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_stream_approx(
+    sdf: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    capacity_per_bucket: int = 1 << 20,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Approximate streaming dedup with BOUNDED state: a Bloom filter per
+    hash bucket (our own hllspark.sketches.bloom), so total state is
+    n_buckets x bloom_bytes regardless of stream length — the trade the
+    reference's sketch philosophy makes, applied to dedup.  A false
+    positive drops a genuinely-new key with probability <= fpp; no
+    duplicate is ever emitted twice (no false negatives).  Emits
+    (key, bucket) for first-ish occurrences."""
+    from .sketches import bloom as _bloom
+
+    hashed = sdf.select(
+        F.col(key_col),
+        (F.abs(F.xxhash64(F.col(key_col))) % n_buckets).alias("__bucket"),
+    )
+    out_schema = StructType(
+        [
+            next(f for f in hashed.schema.fields if f.name == key_col),
+            StructField("__bucket", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("filt", BinaryType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            bits, k = _bloom.decode(bytes(state.get[0]))
+        else:
+            m_bits, k = _bloom.params_for(capacity_per_bucket, fpp)
+            bits = _bloom.zero(m_bits)
+        outs = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[key_col].astype("string").to_numpy(dtype=object)
+            fresh = ~_bloom.might_contain(bits, vals, k)
+            # within-batch repeats: keep only the first of each fresh key
+            first_in_batch = ~pd.Series(vals).duplicated().to_numpy()
+            fresh &= first_in_batch
+            bits = _bloom.update(bits, vals[fresh], k)
+            if fresh.any():
+                sub = pdf.loc[fresh, [key_col]].copy()
+                sub["__bucket"] = key[0]
+                outs.append(sub)
+        state.update((bytearray(_bloom.encode(bits, k)),))
+        return iter(outs)
+
+    return hashed.groupBy("__bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

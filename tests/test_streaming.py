@@ -192,3 +192,46 @@ def test_sketch_stream_estimate_within_bound(spark, tmp_path):
 
     _run_stream(out, sink, str(tmp_path / "ck"))
     assert abs(est["v"] / 5000.0 - 1.0) <= 3 * hll.error_bound(12)
+
+
+def test_dedup_stream_exact(spark, tmp_path):
+    """Exact streaming dedup: each user_id emitted exactly once across
+    micro-batches, regardless of how many duplicates arrive."""
+    src = str(tmp_path / "dsrc")
+    # two files -> two micro-batches with heavy cross-batch duplication
+    spark.range(4000).select((F.col("id") % 700).alias("user_id"),
+                             (F.col("id") % 2).alias("half")) \
+        .repartition(2, "half").drop("half") \
+        .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema("user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming.dedup_stream(sdf, ["user_id"])
+    seen = []
+
+    def sink(bdf, bid):
+        seen.extend(r["user_id"] for r in bdf.collect())
+
+    _run_stream(out, sink, str(tmp_path / "dck"))
+    assert len(seen) == 700            # every key exactly once
+    assert len(set(seen)) == 700
+
+
+def test_dedup_stream_approx_bounded_state(spark, tmp_path):
+    """Bloom-bucket streaming dedup: no duplicates emitted; drop rate of
+    genuinely-new keys bounded by fpp (here ~0 at this fill)."""
+    src = str(tmp_path / "asrc")
+    spark.range(3000).select((F.col("id") % 500).cast("string").alias("doc")) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema("doc string").parquet(src)
+    out = streaming.dedup_stream_approx(sdf, "doc", n_buckets=8,
+                                        capacity_per_bucket=10000, fpp=0.01)
+    seen = []
+
+    def sink(bdf, bid):
+        seen.extend(r["doc"] for r in bdf.collect())
+
+    _run_stream(out, sink, str(tmp_path / "ack"))
+    assert len(seen) == len(set(seen))          # never a duplicate
+    assert len(seen) >= 500 * 0.98              # few false-positive drops
+    assert len(seen) <= 500
