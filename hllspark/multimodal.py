@@ -103,3 +103,114 @@ def frame_sample_plan(
         df.where(F.col("kind") == "video")
         .select(id_col, F.explode(frames).alias("frame_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# container-format header parsing — REAL (no codec libraries needed)
+# ---------------------------------------------------------------------------
+# Magic-byte sniffing and header-field extraction are pure byte arithmetic,
+# so unlike pixel/sample decode (stubbed above) these run for real: the
+# typed-metadata side of the multimodal design (format, dimensions) comes
+# from the binary column itself at ingest time.
+
+_MAGICS = [
+    ("png", b"\x89PNG\r\n\x1a\n"),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF8"),
+    ("riff", b"RIFF"),   # wav/avi/webp container; refined below
+    ("mp4", None),       # ftyp at offset 4
+    ("pdf", b"%PDF"),
+]
+
+
+def sniff_format(payload: bytes) -> str:
+    """Identify the container from magic bytes (pure byte compare)."""
+    if payload is None or len(payload) < 12:
+        return "unknown"
+    for name, magic in _MAGICS:
+        if magic and payload.startswith(magic):
+            if name == "riff":
+                four = payload[8:12]
+                return {b"WAVE": "wav", b"WEBP": "webp", b"AVI ": "avi"}.get(
+                    four, "riff"
+                )
+            return name
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def png_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the PNG IHDR chunk (always first, offset 16)."""
+    if len(payload) < 24 or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    return (w, h)
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOF0-SOF15 marker (excluding DHT/DAC/
+    RST markers), walking the JPEG segment chain."""
+    if len(payload) < 4 or not payload.startswith(b"\xff\xd8"):
+        return None
+    i = 2
+    n = len(payload)
+    while i + 9 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(payload[i + 5 : i + 7], "big")
+            w = int.from_bytes(payload[i + 7 : i + 9], "big")
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+def wav_sample_rate(payload: bytes) -> int | None:
+    """Sample rate from the RIFF/WAVE fmt chunk (little-endian u32 at
+    offset 24 in the canonical layout; chunk-walked for robustness)."""
+    if len(payload) < 28 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 16 <= len(payload):
+            return int.from_bytes(payload[i + 12 : i + 16], "little")
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Adds (format string, width int, height int, sample_rate int) parsed
+    from the binary column, Arrow-batched — the real typed-metadata path
+    for a 100 TB media lake: header fields come from the first bytes only,
+    so at scale pair with a range-read source that fetches payload
+    prefixes rather than whole objects."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<format:string,width:int,height:int,sample_rate:int>")
+    def meta(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payloads:
+            b = bytes(b) if b is not None else b""
+            fmt = sniff_format(b)
+            dims = png_dims(b) if fmt == "png" else jpeg_dims(b) if fmt == "jpeg" else None
+            rows.append(
+                {
+                    "format": fmt,
+                    "width": dims[0] if dims else None,
+                    "height": dims[1] if dims else None,
+                    "sample_rate": wav_sample_rate(b) if fmt == "wav" else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return df.withColumn("media_meta", meta(F.col(payload_col)))

@@ -223,3 +223,52 @@ def test_multimodal_plumbing(spark):
     assert all(r["frame_idx"] % 50 == 0 for r in rows)
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decoder="real")
+
+
+def _mini_png(w, h):
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+            + b"\x00" * 8)
+
+
+def _mini_jpeg(w, h):
+    # SOI + APP0 segment + SOF0 with dims + EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def _mini_wav(rate):
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+           + b"\x00" * 8)
+    return b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + fmt
+
+
+def test_media_header_parsing(spark):
+    """Real (no-codec) multimodal metadata: magic sniffing + header dims
+    from hand-built minimal-but-valid container headers."""
+    from hllspark import multimodal as mm
+
+    assert mm.sniff_format(_mini_png(640, 480)) == "png"
+    assert mm.png_dims(_mini_png(640, 480)) == (640, 480)
+    assert mm.sniff_format(_mini_jpeg(32, 16)) == "jpeg"
+    assert mm.jpeg_dims(_mini_jpeg(32, 16)) == (32, 16)
+    assert mm.sniff_format(_mini_wav(44100)) == "wav"
+    assert mm.wav_sample_rate(_mini_wav(44100)) == 44100
+    assert mm.sniff_format(b"garbage_bytes_here") == "unknown"
+
+    rows = [
+        (1, bytearray(_mini_png(100, 50))),
+        (2, bytearray(_mini_jpeg(8, 9))),
+        (3, bytearray(_mini_wav(16000))),
+        (4, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r["media_meta"] for r in
+           mm.with_media_metadata(df).collect()}
+    assert got[1]["format"] == "png" and got[1]["width"] == 100
+    assert got[2]["format"] == "jpeg" and got[2]["height"] == 9
+    assert got[3]["format"] == "wav" and got[3]["sample_rate"] == 16000
+    assert got[4]["format"] == "unknown" and got[4]["width"] is None
