@@ -436,6 +436,30 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_media_header_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Real byte-level media parsing end-to-end: synthesize 300 rows with
+    genuine PNG/JPEG/WAV headers, sniff + parse them back, and aggregate —
+    the DuckDB oracle recomputes the same stats from the generating
+    formulas, so any parsing error breaks the value hash."""
+    from hllspark import multimodal as mm
+
+    media = mm.synthesize_media_containers(spark, 300)
+    meta = mm.with_media_metadata(media)
+    return (
+        meta.select(
+            F.col("media_meta.format").alias("format"),
+            F.coalesce(F.col("media_meta.width"), F.lit(0)).alias("w"),
+            F.coalesce(F.col("media_meta.sample_rate"), F.lit(0)).alias("sr"),
+        )
+        .groupBy("format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("w") + F.col("sr")).alias("sum_w"),
+        )
+        .orderBy("format")
+    )
+
+
 def _q_sketch_overlap_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Set-operation estimates from sketch columns only: distinct-user
     union/intersection between the two alphabetically-first event types;
@@ -704,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
         "hllzstd_within_bound": _q_hllzstd_within_bound,
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
+        "media_header_stats": _q_media_header_stats,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -825,6 +850,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_overlap_within_bound": (
             "SELECT 1 AS union_within_bound, 1 AS intersection_within_bound"
+        ),
+        "media_header_stats": (
+            "SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'png' "
+            "WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, "
+            "count(*) AS n, "
+            "SUM(CASE CAST(id % 3 AS INT) WHEN 0 THEN id % 100 + 1 "
+            "WHEN 1 THEN id % 64 + 1 ELSE 8000 + (id % 4) * 8000 END) AS sum_w "
+            "FROM range(300) t(id) GROUP BY 1 ORDER BY 1"
         ),
         "winnow_fingerprint_props": (
             "SELECT doc_id, 1 AS winnow_ok FROM documents WHERE doc_id < 100 "

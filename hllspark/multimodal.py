@@ -214,3 +214,55 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
         return pd.DataFrame(rows)
 
     return df.withColumn("media_meta", meta(F.col(payload_col)))
+
+
+# minimal-but-valid container builders (the encode side of the header
+# parsers; used by fixtures and tests — real byte layouts, no codec libs)
+
+def make_png(width: int, height: int) -> bytes:
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+            + b"\x00" * 8)
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+           + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + b"\x03" + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def make_wav(sample_rate: int) -> bytes:
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + sample_rate.to_bytes(4, "little")
+           + b"\x00" * 8)
+    return b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + fmt
+
+
+def synthesize_media_containers(
+    spark, n: int, num_partitions: int = 8
+) -> DataFrame:
+    """Deterministic media table with REAL container headers: id % 3 picks
+    png (width=id%100+1, height=id%50+1) / jpeg (width=id%64+1,
+    height=id%32+1) / wav (rate=8000+(id%4)*8000).  Arrow-batched
+    generation; a pure function of id on any partitioning."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                k = i % 3
+                if k == 0:
+                    payloads.append(make_png(i % 100 + 1, i % 50 + 1))
+                elif k == 1:
+                    payloads.append(make_jpeg(i % 64 + 1, i % 32 + 1))
+                else:
+                    payloads.append(make_wav(8000 + (i % 4) * 8000))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
