@@ -436,6 +436,20 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_misra_gries_exact_when_k_covers(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries heavy-hitters summary built distributed (partial per
+    partition + mergeable-summary merge); with k >= #distinct items the
+    counters are provably exact, so the summary must value-match the exact
+    GROUP BY counts."""
+    from hllspark.sketches import generic, misragries as mg
+
+    ev = _t(spark, sf, "events")
+    sk = generic.sketch_agg(ev, "event_type", mg.kind(64)).collect()[0]["sketch"]
+    st = mg.decode(bytes(sk))
+    rows = sorted(st["counts"].items())
+    return spark.createDataFrame(rows, "item string, cnt long").orderBy("item")
+
+
 def _q_media_header_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Real byte-level media parsing end-to-end: synthesize 300 rows with
     genuine PNG/JPEG/WAV headers, sniff + parse them back, and aggregate —
@@ -729,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hllzstd_within_bound": _q_hllzstd_within_bound,
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
+        "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -850,6 +865,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sketch_overlap_within_bound": (
             "SELECT 1 AS union_within_bound, 1 AS intersection_within_bound"
+        ),
+        "misra_gries_exact_when_k_covers": (
+            "SELECT event_type AS item, count(*) AS cnt FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "media_header_stats": (
             "SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'png' "

@@ -276,3 +276,68 @@ def test_spark_bloom_membership(spark, events):
     bits, k2 = bloom.decode(bytes(sk))
     users = np.array([r[0] for r in events.select("user_id").distinct().collect()])
     assert bloom.might_contain(bits, users, k2).all()
+
+
+class TestMisraGries:
+    def test_no_false_negatives_among_heavy_hitters(self):
+        """Every item with frequency > n/(k+1) must survive (MG guarantee),
+        and counters never overcount."""
+        from hllspark.sketches import misragries as mg
+
+        rng = np.random.default_rng(5)
+        # zipf-ish: item i with weight ~ 1/(i+1)
+        items = np.repeat(
+            np.arange(50), (2000 / (np.arange(50) + 1)).astype(int)
+        ).astype(str)
+        rng.shuffle(items)
+        st = mg.update(mg.zero(16), items)
+        n = len(items)
+        from collections import Counter
+
+        true = Counter(items)
+        for item, c in st["counts"].items():
+            assert c <= true[item]                      # undercount only
+            assert true[item] - c <= n / (16 + 1)       # bounded error
+        for item, cnt in true.items():
+            if cnt > n / 17:
+                assert item in st["counts"], f"heavy hitter {item} lost"
+
+    def test_merge_guarantee_holds(self):
+        from collections import Counter
+
+        from hllspark.sketches import misragries as mg
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 30, 5000).astype(str)
+        b = rng.integers(0, 30, 5000).astype(str)
+        merged = mg.merge(mg.update(mg.zero(12), a), mg.update(mg.zero(12), b))
+        true = Counter(np.concatenate([a, b]))
+        n = 10000
+        for item, c in merged["counts"].items():
+            assert c <= true[item]
+            assert true[item] - c <= n / 13
+        hh = mg.heavy_hitters(merged, n, 1.0 / 13 + 0.02)
+        for item, cnt in true.items():
+            if cnt > (1.0 / 13 + 0.02) * n:
+                assert item in dict(hh)
+
+    def test_spark_grouped(self, spark):
+        from hllspark.sketches import generic, misragries as mg
+
+        df = spark.range(6000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.when(F.col("id") % 10 < 6, F.lit("hot"))
+            .otherwise((F.col("id") % 97).cast("string"))
+            .alias("v"),
+        ).repartition(8)
+        out = generic.sketch_agg(df, "v", mg.kind(16), keys=["g"]).collect()
+        assert len(out) == 3
+        for r in out:
+            st = mg.decode(bytes(r["sketch"]))
+            hh = mg.heavy_hitters(st, 2000, 0.3)
+            assert hh and hh[0][0] == "hot"   # 60% item always found first
+    def test_round_trip(self):
+        from hllspark.sketches import misragries as mg
+
+        st = mg.update(mg.zero(8), ["a", "a", "b", "c"])
+        assert mg.decode(mg.encode(st)) == st
