@@ -41,6 +41,7 @@ def build_session() -> SparkSession:
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
         .getOrCreate()
     )
 
