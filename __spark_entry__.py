@@ -436,6 +436,32 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup dedup (sign-LSH candidates + exact cosine
+    filter) vs DuckDB's exhaustive self-join at the same threshold.  The
+    fixture has no natural near-dups (max cross cosine ~0.51), so five
+    deterministic twins (scaled copies, cosine exactly 1.0) are planted
+    identically in both engines; at cos >= 0.95 a 24-plane/8-band
+    signature shares a band with probability ~0.99997, so the LSH
+    candidate set is exhaustive here and the result value-matches."""
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    twins = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    return (
+        similarity.near_duplicates_by_cosine(aug, dim, threshold=0.95)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_misra_gries_exact_when_k_covers(spark: SparkSession, sf: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary built distributed (partial per
     partition + mergeable-summary merge); with k >= #distinct items the
@@ -744,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
+        "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -869,6 +896,21 @@ def oracle_sql() -> dict[str, str]:
         "misra_gries_exact_when_k_covers": (
             "SELECT event_type AS item, count(*) AS cnt FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "embedding_near_dup_pairs": (
+            "WITH aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 10000,"
+            "    list_transform(embedding,"
+            "      x -> CAST(CAST(x AS DOUBLE) * 1.0001 AS FLOAT))"
+            "  FROM embeddings WHERE vec_id < 5) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+            "FROM aug a, aug b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.95 ORDER BY id_a, id_b"
         ),
         "media_header_stats": (
             "SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'png' "
