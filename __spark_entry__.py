@@ -436,6 +436,40 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_approx_quantiles_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped KLL quantiles: for each (event_type, prob), the true rank of
+    the estimated quantile must lie within 0.03 of prob (KLL rank-error
+    guarantee at k=200)."""
+    from hllspark.sketches import generic
+
+    ev = _t(spark, sf, "events")
+    probs = [0.25, 0.5, 0.75]
+    est = generic.approx_quantiles(ev, "value", probs, keys=["event_type"])
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    le = (
+        est.alias("e")
+        .join(ev.alias("v"), F.col("e.event_type") == F.col("v.event_type"))
+        .where(F.col("v.value") <= F.col("e.quantile"))
+        .groupBy("e.event_type", "e.prob")
+        .agg(F.count("*").alias("n_le"))
+    )
+    return (
+        est.join(le, ["event_type", "prob"], "left")
+        .join(counts, "event_type")
+        .select(
+            "event_type",
+            "prob",
+            (
+                F.abs(F.coalesce(F.col("n_le"), F.lit(0)) / F.col("n") - F.col("prob"))
+                <= 0.03
+            )
+            .cast("int")
+            .alias("rank_ok"),
+        )
+        .orderBy("event_type", "prob")
+    )
+
+
 def _q_embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup dedup (sign-LSH candidates + exact cosine
     filter) vs DuckDB's exhaustive self-join at the same threshold.  The
@@ -771,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header_stats": _q_media_header_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
+        "approx_quantiles_by_type": _q_approx_quantiles_by_type,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -896,6 +931,12 @@ def oracle_sql() -> dict[str, str]:
         "misra_gries_exact_when_k_covers": (
             "SELECT event_type AS item, count(*) AS cnt FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "approx_quantiles_by_type": (
+            "SELECT event_type, p AS prob, 1 AS rank_ok FROM events, "
+            "(VALUES (0.25), (0.5), (0.75)) probs(p) "
+            "WHERE event_type IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "embedding_near_dup_pairs": (
             "WITH aug AS ("

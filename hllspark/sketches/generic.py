@@ -113,3 +113,46 @@ def query_udf(fn: Callable[[bytes], object], return_type: str):
         return pd.Series([fn(bytes(b)) for b in s])
 
     return F.pandas_udf(_q, return_type)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probabilities: Sequence[float],
+    keys: Sequence[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Grouped approximate quantiles via the KLL sketch (our own mergeable
+    summary, same two-phase plan): DataFrame[keys..., prob double,
+    quantile double].  Rank error ~ O(1/k); cross-checked against Spark's
+    approx_percentile and DuckDB's exact quantiles in tests/queries."""
+    from . import kll
+
+    keys = list(keys or [])
+    probs = [float(p) for p in probabilities]
+    sketches = sketch_agg(df, value_col, kll.kind(k), keys=keys)
+
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    out_schema = (key_schema + ", " if key_schema else "") + "prob double, quantile double"
+
+    def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = kll.decode(bytes(pdf["sketch"].iloc[0]))
+        vals = s.quantile(probs)
+        out = pd.DataFrame({"prob": probs, "quantile": np.asarray(vals, dtype=float)})
+        passthrough = keys if keys else ["__g"]
+        for kcol in passthrough:
+            out[kcol] = pdf[kcol].iloc[0]
+        return out[passthrough + ["prob", "quantile"]]
+
+    if keys:
+        return sketches.groupBy(*keys).applyInPandas(expand, schema=out_schema)
+    return (
+        sketches.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(expand, schema="__g int, " + out_schema)
+        .select("prob", "quantile")
+    )

@@ -341,3 +341,30 @@ class TestMisraGries:
 
         st = mg.update(mg.zero(8), ["a", "a", "b", "c"])
         assert mg.decode(mg.encode(st)) == st
+
+
+def test_approx_quantiles_grouped_vs_duckdb(spark):
+    """approx_quantiles vs DuckDB exact quantile_cont rank positions."""
+    import duckdb
+
+    from hllspark.sketches import generic
+    from tests.conftest import SF_TEST
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    got = generic.approx_quantiles(ev, "value", [0.5], keys=["event_type"]).collect()
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, quantile_cont(value, 0.5) FROM "
+            f"'{SF_TEST}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    counts = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(*) FROM '{SF_TEST}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    pdfv = spark.read.parquet(f"{SF_TEST}/events.parquet").toPandas()
+    for r in got:
+        et = r["event_type"]
+        true_rank = (pdfv[pdfv.event_type == et]["value"] <= r["quantile"]).mean()
+        assert abs(true_rank - 0.5) < 0.03, (et, r["quantile"], exact[et])
