@@ -1,0 +1,117 @@
+"""End-to-end web-text training-data pipeline on the Common-Crawl-style
+pages table — the "switch from the reference" demo, exercising the whole
+library surface in one runnable job:
+
+  pages(url, warc_ts, html, text, lang)
+    1. extract text from html           (byte-identical invariant asserted)
+    2. language-ID + quality filter     (JVM expressions, no Python)
+    3. exact dedup -> minhash near-dup  (one representative per dup group)
+    4. sketch statistics:
+         - distinct urls per lang           (HLL, SQL plan)
+         - distinct 3-gram shingles per lang (HLLL, compressed bits reported)
+         - per-day distinct urls + rollup to month/global (sketch GROUP BY)
+         - p50/p90 text length per lang     (KLL)
+         - heavy-hitter url hosts           (Misra-Gries)
+    5. snapshot-commit sketches with lineage; demonstrate resume
+
+Run: python examples/webtext_pipeline.py [n_rows]   (default 200_000)
+Prints one JSON summary line; exits non-zero on any invariant violation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from hllspark import agg, dedup, io as hio, session, sketch, text
+from hllspark.sketches import generic, misragries as mg
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    t0 = time.time()
+    spark = session.configured_builder("webtext-pipeline", cores=8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = hio.generate_pages(spark, n_rows, num_partitions=16).cache()
+
+    # 1. extraction invariant (input_hint: per-row byte-identical text)
+    mismatches = pages.where(
+        text.extract_text(F.col("html")) != F.col("text")
+    ).count()
+    assert mismatches == 0, f"{mismatches} extraction mismatches"
+
+    # 2. quality + language filter
+    scored = text.quality_features(pages)
+    kept = scored.where(
+        (F.col("quality_score") > 0.3) & F.col("lang").isNotNull()
+    )
+
+    # 3. dedup: exact first, then near-dup pairs on a slice (pair listing is
+    # quadratic in dup-cluster size, so production runs it per-bucket)
+    deduped = dedup.deduplicate_exact(
+        kept.withColumn("doc_id", F.xxhash64("url")), "text", "doc_id"
+    )
+
+    # 4. sketch statistics
+    urls_by_lang = agg.approx_distinct(deduped, "url", ["lang"], p=13).collect()
+    shingle_sk = agg.sketch_by(
+        deduped.select("lang", F.explode(text.shingles(F.col("text"), 3)).alias("sh")),
+        "sh", ["lang"], p=12, algo="hlll",
+    )
+    shingle_stats = [
+        (r["lang"], sketch.bit_size(bytes(r["sketch"])))
+        for r in shingle_sk.collect()
+    ]
+    daily = agg.sketch_by(
+        deduped.withColumn("day", F.to_date("warc_ts")), "url", ["day"], p=12
+    ).cache()
+    rolled = agg.sketch_rollup(daily, ["day"]).collect()
+    quant = generic.approx_quantiles(
+        deduped, "n_chars", [0.5, 0.9], keys=["lang"]
+    ).collect()
+    hosts = generic.sketch_agg(
+        deduped.select(F.regexp_extract("url", r"//([^/]+)/", 1).alias("host")),
+        "host", mg.kind(32),
+    ).collect()[0]["sketch"]
+    top_hosts = mg.heavy_hitters(mg.decode(bytes(hosts)), deduped.count(), 0.05)
+
+    # 5. snapshot + resume
+    with tempfile.TemporaryDirectory() as tmp:
+        writer = hio.SnapshotWriter(tmp)
+        writer.write_unit(daily, "daily_sketches", lineage={"rows": n_rows})
+        remaining = hio.resume_remaining(writer, ["daily_sketches", "hourly"])
+        assert remaining == ["hourly"], remaining
+        committed = writer.read_committed(spark)
+        assert committed.count() == daily.count()
+
+    summary = {
+        "rows": n_rows,
+        "kept_after_quality": kept.count(),
+        "after_exact_dedup": deduped.count(),
+        "langs": len(urls_by_lang),
+        "global_url_estimate": round(
+            next(r["distinct_estimate"] for r in rolled if r["day"] is None), 1
+        ),
+        "hlll_shingle_bits": dict(shingle_stats),
+        "p50_p90_by_lang": {
+            f"{r['lang']}@{r['prob']}": r["quantile"] for r in quant[:6]
+        },
+        "top_hosts": top_hosts[:3],
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
