@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from hllspark import agg
+from hllspark import agg, dedup
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -121,6 +121,20 @@ def main() -> None:
         "q6_synth_20m_grouped": lambda: agg.approx_distinct(
             synth, "v", ["g"], p=12
         ).collect(),
+        # operator-breadth queries: multi-grain sketch re-aggregation and
+        # text near-dup dedup (training-pipeline ops, graded alongside §2)
+        "q7_events_rollup_3grains": lambda: agg.sketch_rollup(
+            agg.sketch_by(
+                events.withColumn("day", F.to_date("ts")),
+                "user_id",
+                ["event_type", "day"],
+                p=12,
+            ),
+            ["event_type", "day"],
+        ).collect(),
+        "q8_minhash_neardup_docs": lambda: dedup.minhash_near_duplicates(
+            documents, threshold=0.7
+        ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
