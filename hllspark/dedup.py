@@ -166,6 +166,13 @@ def minhash_lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # persist: the self-join's two aliases would otherwise each re-derive
+    # the full signature lineage (shingling + num_hashes permutations) —
+    # the banded table is tiny (#docs x bands rows of three scalars)
+    from pyspark import StorageLevel
+
+    if banded.storageLevel == StorageLevel.NONE:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -193,12 +200,35 @@ def ngram_jaccard(
     """Exact word-k-gram Jaccard similarity for candidate pairs — the
     verification stage after LSH.  Joins the (small) pair list against the
     corpus twice, then set arithmetic on shingle arrays."""
-    g = docs.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("__g")
+    # shingle ONLY the documents that appear in a candidate pair: the gram
+    # construction over full long documents dominates (measured 6s for the
+    # whole corpus at sf0.1 vs 0.4s for the ~2x#pairs docs actually
+    # needed), and join order can't fix what the projection computes.
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    g = (
+        docs.join(F.broadcast(ids), id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("__g"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    if g.storageLevel == StorageLevel.NONE:
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)  # shared by both joins
     out = (
-        pairs.join(g.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "ga"), "id_a")
-        .join(g.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "gb"), "id_b")
+        pairs.join(
+            g.withColumnRenamed(id_col, "id_a").withColumnRenamed("__g", "ga"),
+            "id_a",
+        )
+        .join(
+            g.withColumnRenamed(id_col, "id_b").withColumnRenamed("__g", "gb"),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))

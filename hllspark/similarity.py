@@ -326,6 +326,12 @@ def near_duplicates_by_cosine(
         )
         .select(id_col, vec_col, "bb.band", "bb.val")
     )
+    # persist: both self-join sides would otherwise recompute the
+    # n_planes-dot-product signatures (cf. dedup.minhash_lsh_candidates)
+    from pyspark import StorageLevel
+
+    if sigs.storageLevel == StorageLevel.NONE:
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = sigs.alias("l"), sigs.alias("r")
     cand = (
         l.join(
