@@ -316,6 +316,12 @@ def simhash_near_duplicates(
             )
         ).alias("cc"),
     ).select(id_col, "__sh", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    # persist: both self-join aliases would otherwise recompute the
+    # simhash (token hashing + 64 bit-votes) lineage per side
+    from pyspark import StorageLevel
+
+    if chunks.storageLevel == StorageLevel.NONE:
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
