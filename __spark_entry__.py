@@ -436,6 +436,26 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multi_distinct_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan multi-column distinct estimates (user_id + props per
+    event_type) each within the 3-sigma bound of the exact counts."""
+    ev = _t(spark, sf, "events")
+    est = agg.approx_distinct_multi(ev, ["user_id", "props"], ["event_type"], p=_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("xu"),
+        F.countDistinct("props").alias("xp"),
+    )
+    j = est.join(exact, "event_type")
+    ok = lambda e, x: (
+        (F.abs(F.col(e) - F.col(x)) / F.col(x)) <= F.lit(_BOUND)
+    ).cast("int")
+    return j.select(
+        "event_type",
+        ok("distinct_user_id", "xu").alias("users_ok"),
+        ok("distinct_props", "xp").alias("props_ok"),
+    ).orderBy("event_type")
+
+
 def _q_approx_quantiles_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped KLL quantiles: for each (event_type, prob), the true rank of
     the estimated quantile must lie within 0.03 of prob (KLL rank-error
@@ -806,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "approx_quantiles_by_type": _q_approx_quantiles_by_type,
+        "multi_distinct_within_bound": _q_multi_distinct_within_bound,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -930,6 +951,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "misra_gries_exact_when_k_covers": (
             "SELECT event_type AS item, count(*) AS cnt FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "multi_distinct_within_bound": (
+            "SELECT event_type, 1 AS users_ok, 1 AS props_ok FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "approx_quantiles_by_type": (

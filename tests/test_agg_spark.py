@@ -252,3 +252,29 @@ def test_p_for_error():
     assert hll.p_for_error(0.01) == 14  # 1.04/sqrt(2^14) = 0.0081
     assert hll.p_for_error(0.05) == 9
     assert hll.error_bound(hll.p_for_error(0.02)) <= 0.02
+
+
+def test_approx_distinct_multi_matches_single(spark, events):
+    """Multi-column single-scan estimates equal per-column runs (same hash
+    -> register -> estimator chain; float-sum order may differ by ulps)."""
+    import math
+
+    multi = agg.approx_distinct_multi(
+        events, ["user_id", "event_type", "props"], ["event_type"], p=10
+    ).collect()
+    for col in ["user_id", "event_type", "props"]:
+        single = {
+            r["event_type"]: r["distinct_estimate"]
+            for r in agg.approx_distinct(events, col, ["event_type"], p=10).collect()
+        }
+        for r in multi:
+            assert math.isclose(
+                r[f"distinct_{col}"], single[r["event_type"]], rel_tol=1e-9
+            ), (col, r["event_type"])
+
+
+def test_approx_distinct_multi_single_scan(spark, events):
+    plan = agg.approx_distinct_multi(
+        events, ["user_id", "props"], p=10
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1  # one scan for both columns
