@@ -436,6 +436,41 @@ def _q_jr_build_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kmv_overlap_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV sketch set operations (Beyer'07): distinct users per event type
+    as k-minimum-values sketches; estimate, jaccard, and intersection of
+    the two alphabetically-first types each within their published bounds
+    vs the exact SQL answers."""
+    from hllspark.sketches import generic, kmv
+
+    ev = _t(spark, sf, "events")
+    types = [
+        r[0]
+        for r in ev.select("event_type").distinct().orderBy("event_type").limit(2).collect()
+    ]
+    sk = generic.sketch_agg(
+        ev.where(F.col("event_type").isin(types)), "user_id", kmv.kind(1024),
+        keys=["event_type"],
+    ).collect()
+    states = {r["event_type"]: kmv.decode(bytes(r["sketch"])) for r in sk}
+    A, B = states[types[0]], states[types[1]]
+    ua = ev.where(F.col("event_type") == types[0]).select("user_id").distinct()
+    ub = ev.where(F.col("event_type") == types[1]).select("user_id").distinct()
+    na, nb = ua.count(), ub.count()
+    ni = ua.join(ub, "user_id").count()
+    nu = na + nb - ni
+    tol = 4 / (1024 ** 0.5)  # ~4 sigma of 1/sqrt(k)
+    est_ok = abs(kmv.estimate(A) - na) / max(na, 1) < tol
+    jac = kmv.jaccard(A, B)
+    true_jac = ni / max(nu, 1)
+    jac_ok = abs(jac - true_jac) < 5 * tol
+    int_ok = abs(kmv.intersection_estimate(A, B) - ni) / max(ni, 1) < 5 * tol
+    return spark.createDataFrame(
+        [(int(est_ok), int(jac_ok), int(int_ok))],
+        "estimate_ok int, jaccard_ok int, intersection_ok int",
+    )
+
+
 def _q_multi_distinct_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """One-scan multi-column distinct estimates (user_id + props per
     event_type) each within the 3-sigma bound of the exact counts."""
@@ -827,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "approx_quantiles_by_type": _q_approx_quantiles_by_type,
         "multi_distinct_within_bound": _q_multi_distinct_within_bound,
+        "kmv_overlap_within_bound": _q_kmv_overlap_within_bound,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "text_token_counts": _q_text_token_counts,
@@ -956,6 +992,9 @@ def oracle_sql() -> dict[str, str]:
         "multi_distinct_within_bound": (
             "SELECT event_type, 1 AS users_ok, 1 AS props_ok FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "kmv_overlap_within_bound": (
+            "SELECT 1 AS estimate_ok, 1 AS jaccard_ok, 1 AS intersection_ok"
         ),
         "approx_quantiles_by_type": (
             "SELECT event_type, p AS prob, 1 AS rank_ok FROM events, "

@@ -113,7 +113,9 @@ def overlap_estimates(Ma: np.ndarray, Mb: np.ndarray) -> dict:
     inclusion-exclusion |A∩B| = E(A) + E(B) - E(A∪B), whose absolute error
     scales with the UNION's bound (can exceed 100% relative error for tiny
     overlaps of large sets — callers needing tight intersections at low
-    Jaccard should use minhash signatures from hllspark.dedup instead).
+    Jaccard should use the KMV sketch, hllspark.sketches.kmv, whose
+    jaccard/intersection estimators are unbiased; or minhash signatures
+    from hllspark.dedup for per-document similarity).
     Returns {a, b, union, intersection, jaccard}."""
     ea, eb = float(estimate(Ma)), float(estimate(Mb))
     eu = float(estimate(merge(Ma, Mb)))

@@ -3,6 +3,6 @@ quantiles, t-digest, Misra-Gries heavy hitters — each a core + the shared two-
 (hllspark.sketches.generic).
 """
 
-from . import bloom, countmin, generic, kll, misragries, tdigest
+from . import bloom, countmin, generic, kll, kmv, misragries, tdigest
 
-__all__ = ["bloom", "countmin", "generic", "kll", "misragries", "tdigest"]
+__all__ = ["bloom", "countmin", "generic", "kll", "kmv", "misragries", "tdigest"]

@@ -368,3 +368,66 @@ def test_approx_quantiles_grouped_vs_duckdb(spark):
         et = r["event_type"]
         true_rank = (pdfv[pdfv.event_type == et]["value"] <= r["quantile"]).mean()
         assert abs(true_rank - 0.5) < 0.03, (et, r["quantile"], exact[et])
+
+
+class TestKMV:
+    def test_estimate_within_bound(self):
+        from hllspark.sketches import kmv
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 1 << 62, 60000, dtype=np.uint64)
+        n_true = len(np.unique(vals))
+        st = kmv.update(kmv.zero(1024), vals)
+        est = kmv.estimate(st)
+        assert abs(est - n_true) / n_true < 4 / np.sqrt(1024)
+
+    def test_exact_below_k(self):
+        from hllspark.sketches import kmv
+
+        st = kmv.update(kmv.zero(1024), np.arange(500, dtype=np.uint64))
+        assert kmv.estimate(st) == 500.0
+
+    def test_merge_equals_union_feed(self):
+        from hllspark.sketches import kmv
+
+        rng = np.random.default_rng(4)
+        a = rng.integers(0, 1 << 62, 20000, dtype=np.uint64)
+        b = rng.integers(0, 1 << 62, 20000, dtype=np.uint64)
+        m = kmv.merge(kmv.update(kmv.zero(512), a), kmv.update(kmv.zero(512), b))
+        u = kmv.update(kmv.zero(512), np.concatenate([a, b]))
+        np.testing.assert_array_equal(m[1], u[1])
+
+    def test_jaccard_and_intersection(self):
+        from hllspark.sketches import kmv
+
+        rng = np.random.default_rng(5)
+        common = rng.integers(0, 1 << 61, 30000, dtype=np.uint64)
+        only_a = rng.integers(1 << 61, 1 << 62, 30000, dtype=np.uint64)
+        only_b = rng.integers(1 << 62, 1 << 63, 30000, dtype=np.uint64)
+        A = kmv.update(kmv.zero(2048), np.concatenate([common, only_a]))
+        B = kmv.update(kmv.zero(2048), np.concatenate([common, only_b]))
+        j = kmv.jaccard(A, B)          # true ~ 1/3
+        assert abs(j - 1 / 3) < 0.05
+        inter = kmv.intersection_estimate(A, B)
+        assert abs(inter - 30000) / 30000 < 0.1
+
+    def test_round_trip(self):
+        from hllspark.sketches import kmv
+
+        st = kmv.update(kmv.zero(64), np.arange(1000, dtype=np.uint64))
+        k2, m2 = kmv.decode(kmv.encode(st))
+        assert k2 == 64
+        np.testing.assert_array_equal(m2, st[1])
+
+    def test_spark_grouped(self, spark):
+        from hllspark.sketches import generic, kmv
+
+        df = spark.range(30000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") % 5000).alias("v"),
+        ).repartition(8)
+        rows = generic.sketch_agg(df, "v", kmv.kind(512), keys=["g"]).collect()
+        assert len(rows) == 2
+        for r in rows:
+            st = kmv.decode(bytes(r["sketch"]))
+            assert abs(kmv.estimate(st) - 2500) / 2500 < 4 / np.sqrt(512)
