@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import fingerprint64, hash_items, jr_from_hash
+from .hashing import hash_items, jr_from_hash
 
 REGISTER_MASK = np.uint8(63)  # values are stored in 6 bits (logW = log2(64))
 

@@ -210,8 +210,6 @@ def _spark_baseline(args, p, dt, data, mode):
 
 
 def _spark(args, p, dt, data, mode):
-    from pyspark.sql import SparkSession
-
     from . import agg, session
 
     spark = session.configured_builder("hllspark-measure").getOrCreate()

@@ -15,7 +15,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 
 from ..hashing import fibonacci_hash, hash_items
 from .generic import SketchKind
