@@ -431,14 +431,24 @@ def sketch_from_jr(
     """Build sketches from pre-hashed (j, r) register-update pairs — the
     reference's `jr` datatype (measure.hpp:49-67; generated per
     inputgenerator.cpp:76-99), which benchmarks the data-structure layer
-    with hashing factored out.  j must lie in [0, 2^p); r in [0, 63].
+    with hashing factored out.  j must lie in [0, 2^p) and r in [0, 63];
+    out-of-range or null pairs are dropped (the reference's PackedVector
+    masks rather than checks — we filter so a corrupt pair cannot corrupt
+    neighboring registers at assembly).
     Same bounded plan as the value path: native groupBy(keys, j).max(r)
     (map-side combine), then <= m rows per group assemble to sketch bytes.
     """
     keys = list(keys or [])
     _validate(p, algo, "prehashed", "sql")
+    m = 1 << p
+    in_range = (
+        (F.col(j_col) >= 0)
+        & (F.col(j_col) < m)
+        & (F.col(r_col) >= 0)
+        & (F.col(r_col) <= 63)
+    )
     maxed = (
-        df.where(F.col(j_col).isNotNull() & F.col(r_col).isNotNull())
+        df.where(F.col(j_col).isNotNull() & F.col(r_col).isNotNull() & in_range)
         .select(
             *keys,
             F.col(j_col).cast("long").alias(_J_COL),
@@ -589,6 +599,8 @@ def approx_distinct_multi(
     column, pivoted JVM-side."""
     keys = list(keys or [])
     value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
     _validate(p, "hll", "xxhash64", "sql")
     hashes = F.array(
         *[F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))) for c in value_cols]

@@ -278,3 +278,24 @@ def test_approx_distinct_multi_single_scan(spark, events):
         events, ["user_id", "props"], p=10
     )._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1  # one scan for both columns
+
+
+def test_sketch_from_jr_drops_out_of_range(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"j": [0, 5, 1 << 8, -1, 3], "r": [4, 70, 2, 2, 9]}  # 3 invalid rows
+    )
+    sk = agg.sketch_from_jr(spark.createDataFrame(pdf), p=8).collect()[0]["sketch"]
+    regs = sketch.decode(sk)
+    expect = np.zeros(256, dtype=np.uint8)
+    expect[0] = 4
+    expect[3] = 9
+    np.testing.assert_array_equal(regs, expect)
+
+
+def test_approx_distinct_multi_validation(spark, events):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        agg.approx_distinct_multi(events, [], ["event_type"])
