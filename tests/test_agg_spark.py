@@ -299,3 +299,16 @@ def test_approx_distinct_multi_validation(spark, events):
 
     with _pytest.raises(ValueError):
         agg.approx_distinct_multi(events, [], ["event_type"])
+
+
+@pytest.mark.parametrize("p", [4, 18])
+def test_precision_range_edges(spark, events, p):
+    """Both ends of the supported precision range work end-to-end: p=4
+    (m=16, alpha lookup table branch) and p=18 (m=262144, the reference
+    grid's max; shuffle rows bounded by #keys x m)."""
+    est = agg.approx_distinct(events, "user_id", p=p).collect()[0][0]
+    exact = events.select("user_id").distinct().count()
+    bound = 5 * 1.04 / (1 << (p // 2)) if p >= 6 else 1.5  # m=16 is coarse
+    assert abs(est - exact) / exact <= bound
+    sk = agg.sketch_by(events, "user_id", p=p).collect()[0]["sketch"]
+    assert len(sketch.decode(sk)) == 1 << p
