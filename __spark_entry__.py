@@ -1021,8 +1021,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'png' "
             "WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format, "
             "count(*) AS n, "
-            "SUM(CASE CAST(id % 3 AS INT) WHEN 0 THEN id % 100 + 1 "
-            "WHEN 1 THEN id % 64 + 1 ELSE 8000 + (id % 4) * 8000 END) AS sum_w "
+            # CAST: DuckDB SUM(BIGINT) yields HUGEINT (float64 via Arrow),
+            # which hash-mismatches Spark's bigint despite equal values
+            "CAST(SUM(CASE CAST(id % 3 AS INT) WHEN 0 THEN id % 100 + 1 "
+            "WHEN 1 THEN id % 64 + 1 ELSE 8000 + (id % 4) * 8000 END) "
+            "AS BIGINT) AS sum_w "
             "FROM range(300) t(id) GROUP BY 1 ORDER BY 1"
         ),
         "winnow_fingerprint_props": (

@@ -77,15 +77,19 @@ def _hash_series_farmhash(s: pd.Series) -> np.ndarray:
 
 def _jr_columns_sql(v):
     """The JVM twin of hashing.jr_split: j = top p-bits (applied by caller),
-    r = clz(v << p) + 1 masked to 6 bits, via bit-smear + bit_count —
-    pure integer expressions, fully codegen'd."""
+    r = clz(v << p) + 1 via bit-smear + bit_count, with the w == 0 edge
+    capped at 64 - p + 1 (see jr_split) — pure integer expressions, fully
+    codegen'd."""
 
     def exprs(p: int):
         j = F.shiftrightunsigned(v, 64 - p)
-        w = F.shiftleft(v, p)
+        w0 = F.shiftleft(v, p)
+        w = w0
         for s in (1, 2, 4, 8, 16, 32):
             w = w.bitwiseOR(F.shiftrightunsigned(w, s))
-        r = (F.lit(65) - F.bit_count(w)) % 64
+        r = F.when(w0 == 0, F.lit(64 - p + 1)).otherwise(
+            F.lit(65) - F.bit_count(w)
+        )
         return j, r
 
     return exprs
@@ -228,6 +232,20 @@ def _seed_row(spark, algo: str, p: int, m_bits: int) -> DataFrame:
 _LONG_MIN = -(1 << 63)
 
 
+def _r_from_minned_w(p: int):
+    """Decode rank r from the min-aggregated sign-flipped shifted hash:
+    r = clz(w) + 1 for w != 0, capped at 64 - p + 1 for w == 0 (jr_split's
+    convention).  The cap keeps the decode monotone non-increasing in the
+    unsigned w, so min_unsigned(w) decodes to exactly max(r)."""
+    w0 = F.col("__w").bitwiseXOR(F.lit(_LONG_MIN))
+    x = w0
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x.bitwiseOR(F.shiftrightunsigned(x, s))
+    return F.when(w0 == 0, F.lit(64 - p + 1)).otherwise(
+        F.lit(65) - F.bit_count(x)
+    )
+
+
 def _maxed_registers_sql(df, value_col, keys, p, hash_mode):
     """scan -> JVM (j, w) projection -> native groupBy(keys, j).min(w) ->
     r from w on the <= #keys * m surviving rows.
@@ -251,11 +269,7 @@ def _maxed_registers_sql(df, value_col, keys, p, hash_mode):
     w = F.shiftleft(v, p).bitwiseXOR(F.lit(_LONG_MIN))  # unsigned-order key
     projected = filtered.select(*keys, j.alias(_J_COL), w.alias("__w"))
     agged = projected.groupBy(*keys, _J_COL).agg(F.min("__w").alias("__w"))
-    x = F.col("__w").bitwiseXOR(F.lit(_LONG_MIN))
-    for s in (1, 2, 4, 8, 16, 32):
-        x = x.bitwiseOR(F.shiftrightunsigned(x, s))
-    r = (F.lit(65) - F.bit_count(x)) % 64
-    return agged.select(*keys, _J_COL, r.alias(_R_COL))
+    return agged.select(*keys, _J_COL, _r_from_minned_w(p).alias(_R_COL))
 
 
 def _estimate_expr(p: int):
@@ -486,6 +500,13 @@ def estimate_grouping_sets(
     fine key combination) so the grain branches share one InMemoryRelation
     instead of each re-deriving it from the base scan (verified: without
     this the union plan contains one full base-table scan PER grain).
+
+    Cache lifetime: the persist is lazy and the CALLER owns it — the
+    returned plan references the cached relation, so this function cannot
+    unpersist before the caller materializes the result.  Long-lived
+    sessions issuing many rollup calls should pass an already-persisted
+    ``df`` (the persist here is skipped when one exists) and unpersist it
+    when done, or call ``spark.catalog.clearCache()`` between batches.
     """
     from pyspark import StorageLevel
 
@@ -616,18 +637,19 @@ def approx_distinct_multi(
         .groupBy(*keys, "__ci", _J_COL)
         .agg(F.min("__w").alias("__w"))
     )
-    x = F.col("__w").bitwiseXOR(F.lit(_LONG_MIN))
-    for s in (1, 2, 4, 8, 16, 32):
-        x = x.bitwiseOR(F.shiftrightunsigned(x, s))
-    r = (F.lit(65) - F.bit_count(x)) % 64
-    maxed = agged.select(*keys, "__ci", _J_COL, r.alias(_R_COL))
+    maxed = agged.select(*keys, "__ci", _J_COL, _r_from_minned_w(p).alias(_R_COL))
     per_col = maxed.groupBy(*keys, "__ci").agg(_estimate_expr(p).alias("__est"))
     pivoted = (
         per_col.groupBy(*keys)
         .pivot("__ci", list(range(len(value_cols))))
         .agg(F.first("__est"))
     )
-    renames = [F.col(str(i)).alias(f"{estimate_prefix}{c}") for i, c in enumerate(value_cols)]
+    # coalesce: a column that is entirely null within a key group has no
+    # register rows, so its pivot cell is NULL — report 0.0 distinct values
+    renames = [
+        F.coalesce(F.col(str(i)), F.lit(0.0)).alias(f"{estimate_prefix}{c}")
+        for i, c in enumerate(value_cols)
+    ]
     return pivoted.select(*keys, *renames)
 
 

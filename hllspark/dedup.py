@@ -131,6 +131,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 7,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
@@ -139,6 +140,12 @@ def minhash_lsh_candidates(
     band_hash, id) -> groupBy bucket -> pairs within bucket.  The self-join
     is on (band_id, band_hash) — co-partitioned, no broadcast of the corpus.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket_size`` bounds the within-bucket self-join: a degenerate
+    bucket (boilerplate corpus, thousands of identical documents) is
+    O(bucket^2) and would dominate at 10^12-row scale; buckets above the
+    cap are dropped with a logged warning (see hllspark.lshutil) — collapse
+    exact duplicates upstream with deduplicate_exact first.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -171,8 +178,13 @@ def minhash_lsh_candidates(
     # the banded table is tiny (#docs x bands rows of three scalars)
     from pyspark import StorageLevel
 
+    from .lshutil import drop_oversize_buckets
+
     if banded.storageLevel == StorageLevel.NONE:
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = drop_oversize_buckets(
+        banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_candidates"
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -248,9 +260,12 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 7,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact jaccard filter."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands, seed)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, k, num_hashes, bands, seed, max_bucket_size
+    )
     return ngram_jaccard(cand, df, text_col, id_col, k).where(
         F.col("jaccard") >= threshold
     )
@@ -293,11 +308,13 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 11,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket by 4 x 16-bit chunks (any pair
     within hamming distance 3 shares at least one identical chunk —
     pigeonhole), then verify hamming distance on candidates. Self-join is
-    chunk-co-partitioned."""
+    chunk-co-partitioned.  Buckets above ``max_bucket_size`` are dropped
+    with a logged warning (hllspark.lshutil) — the O(bucket^2) guard."""
     sh = df.select(F.col(id_col), simhash(F.col(text_col), seed).alias("__sh"))
     chunks = sh.select(
         id_col,
@@ -320,8 +337,13 @@ def simhash_near_duplicates(
     # simhash (token hashing + 64 bit-votes) lineage per side
     from pyspark import StorageLevel
 
+    from .lshutil import drop_oversize_buckets
+
     if chunks.storageLevel == StorageLevel.NONE:
         chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = drop_oversize_buckets(
+        chunks, ["chunk", "val"], max_bucket_size, "simhash_near_duplicates"
+    )
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

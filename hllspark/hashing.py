@@ -94,7 +94,12 @@ def jr_from_hash(x, p: int) -> tuple[np.ndarray, np.ndarray]:
 
 def jr_split(x, p: int) -> tuple[np.ndarray, np.ndarray]:
     """Standard disjoint-bits HLL split used by the engine's JVM-hash modes:
-    j = top p bits of the hash, r = clz(hash << p) + 1 masked to 6 bits.
+    j = top p bits of the hash, r = clz(hash << p) + 1, with the all-zero
+    suffix (hash << p == 0, probability 2^-(64-p) per row) capped at the
+    standard maximal rank 64 - p + 1.  For p >= 4 every rank fits in 6 bits
+    without masking (max 61), so the decode is monotone in the unsigned
+    shifted hash — which is what lets hllspark.agg aggregate min(w) instead
+    of max(r) on the hot path.
 
     This is the numpy twin of the pure-Spark-SQL expression in
     hllspark.agg (shiftrightunsigned / bit-smear / bit_count), so the
@@ -103,7 +108,7 @@ def jr_split(x, p: int) -> tuple[np.ndarray, np.ndarray]:
     with np.errstate(over="ignore"):
         j = (x >> U64(64 - p)).astype(np.int64)
         w = x << U64(p)
-    r = ((clz64(w) + 1) & 63).astype(np.uint8)
+    r = np.where(w == 0, 64 - p + 1, clz64(w) + 1).astype(np.uint8)
     return j, r
 
 

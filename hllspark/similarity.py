@@ -142,44 +142,43 @@ def lsh_top_k(
     rows = n_planes // bands
     # signature materialized in its own projection (referenced `bands`
     # times by the bucket array -> CollapseProject keeps it; the n_planes
-    # dot products run once per row, not once per band)
+    # dot products run once per row, not once per band).  The banded
+    # tables carry IDS ONLY — vectors are re-attached once per distinct
+    # candidate pair, so the bucket join and the dedup exchange never
+    # shuffle embeddings.
     c = (
         corpus.select(
             id_col,
-            vec_col,
             signature_bits(F.col(vec_col), dim, n_planes, seed).alias("__sig"),
         )
         .select(
             id_col,
-            vec_col,
             F.explode(_banded_buckets(F.col("__sig"), bands, rows)).alias("bb"),
         )
-        .select(id_col, vec_col, "bb.band", "bb.val")
+        .select(id_col, "bb.band", "bb.val")
     )
     q = (
         queries.select(
             query_id_col,
-            query_vec_col,
             signature_bits(F.col(query_vec_col), dim, n_planes, seed).alias(
                 "__sig"
             ),
         )
         .select(
             query_id_col,
-            query_vec_col,
             F.explode(_banded_buckets(F.col("__sig"), bands, rows)).alias("bb"),
         )
-        .select(query_id_col, query_vec_col, "bb.band", "bb.val")
+        .select(query_id_col, "bb.band", "bb.val")
     )
-    cand = (
-        c.join(q, ["band", "val"])
-        .select(query_id_col, id_col, vec_col, query_vec_col)
-        .distinct()
-    )
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    cand = c.join(q, ["band", "val"]).select(query_id_col, id_col).distinct()
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -211,6 +210,10 @@ def fit_centroids(
         .limit(sample_rows)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "fit_centroids: corpus has no non-null vectors to sample"
+        )
     X = np.asarray([r.v for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -244,6 +247,8 @@ def _assign_cells_udf(centroids, nprobe: int):
 
     @pandas_udf("array<int>")
     def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.asarray([]) is 1-D
+            return pd.Series([], dtype=object)
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         sims = X @ C.T
@@ -309,29 +314,42 @@ def near_duplicates_by_cosine(
     n_planes: int = 24,
     bands: int = 8,
     seed: int = 5,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs: sign-LSH self-join then exact cosine
-    filter. Returns (id_a, id_b, cosine) with id_a < id_b."""
+    filter. Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    The banded table and the candidate-dedup exchange carry ids only —
+    embeddings are re-attached ONCE per distinct pair for the exact cosine
+    re-rank (the earlier formulation shuffled both full vectors through the
+    pair distinct).  Buckets above ``max_bucket_size`` are dropped with a
+    logged warning (hllspark.lshutil): a degenerate bucket — zero vectors,
+    templated embeddings — would make the self-join O(bucket^2).
+    """
+    from pyspark import StorageLevel
+
+    from .lshutil import drop_oversize_buckets
+
     rows = n_planes // bands
     sigs = (
         df.select(
             id_col,
-            vec_col,
             signature_bits(F.col(vec_col), dim, n_planes, seed).alias("__sig"),
         )
         .select(
             id_col,
-            vec_col,
             F.explode(_banded_buckets(F.col("__sig"), bands, rows)).alias("bb"),
         )
-        .select(id_col, vec_col, "bb.band", "bb.val")
+        .select(id_col, "bb.band", "bb.val")
     )
     # persist: both self-join sides would otherwise recompute the
-    # n_planes-dot-product signatures (cf. dedup.minhash_lsh_candidates)
-    from pyspark import StorageLevel
-
+    # n_planes-dot-product signatures (cf. dedup.minhash_lsh_candidates);
+    # the banded table is three scalars per (doc, band) — no vectors
     if sigs.storageLevel == StorageLevel.NONE:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = drop_oversize_buckets(
+        sigs, ["band", "val"], max_bucket_size, "near_duplicates_by_cosine"
+    )
     l, r = sigs.alias("l"), sigs.alias("r")
     cand = (
         l.join(
@@ -343,11 +361,14 @@ def near_duplicates_by_cosine(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("va"),
-            F.col(f"r.{vec_col}").alias("vb"),
         )
         .distinct()
     )
-    return cand.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
-    ).where(F.col("cosine") >= threshold)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

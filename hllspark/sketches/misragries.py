@@ -15,6 +15,14 @@ value_counts, then fold the (distinct-item, weight) pairs into the state —
 the per-item Python loop touches at most #distinct-per-batch entries, not
 rows.  Spark plan via the shared sketches.generic adapter: partial
 summaries per partition, one merge per group.
+
+ITEM NORMALIZATION: every value is normalized to its pandas string form
+before counting (``astype('string')``), so summaries built over numeric
+columns report STRING items (e.g. int 42 -> '42', and a non-null float NaN
+becomes the literal 'nan').  Callers comparing summary items against native
+values must apply the same str() normalization on their side; the summary
+itself stays exact/mergeable under this mapping because it is applied
+consistently at every update.
 """
 
 from __future__ import annotations

@@ -312,3 +312,40 @@ def test_precision_range_edges(spark, events, p):
     assert abs(est - exact) / exact <= bound
     sk = agg.sketch_by(events, "user_id", p=p).collect()[0]["sketch"]
     assert len(sketch.decode(sk)) == 1 << p
+
+
+def test_zero_suffix_hash_rank_edge(spark):
+    """A hash whose low 64-p bits are all zero (w = hash << p == 0) must
+    contribute the capped maximal rank 64-p+1, and must NOT mask a larger
+    rank... i.e. the min(w) aggregate's decode stays consistent with the
+    per-row max(r) semantics on this edge (ADVICE r01)."""
+    p = 14
+    v_zero_suffix = 5 << (64 - p)          # j=5, w=0 -> r = 64-p+1 = 51
+    # same j, one bit at position 64-p-3 -> w = 1<<61 -> clz=2 -> r=3
+    v_small_rank = (5 << (64 - p)) | (1 << (64 - p - 3))
+    df = spark.createDataFrame(
+        [(v_zero_suffix,), (v_small_rank,)], "v long"
+    )
+    for impl in ("sql", "pandas"):
+        sk = agg.sketch_by(
+            df, "v", p=p, hash_mode="prehashed", impl=impl
+        ).first()["sketch"]
+        regs = sketch.decode(sk)
+        assert regs[5] == 64 - p + 1, impl
+        assert regs.sum() == 64 - p + 1, impl  # no other register touched
+
+
+def test_approx_distinct_multi_all_null_column_is_zero(spark):
+    """A value column that is entirely NULL within a key group reports 0.0,
+    not NULL (pivot gap), while other columns keep real estimates."""
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("b", 3, "x")],
+        "k string, u int, s string",
+    )
+    rows = {
+        r["k"]: r
+        for r in agg.approx_distinct_multi(df, ["u", "s"], ["k"], p=10).collect()
+    }
+    assert rows["a"]["distinct_s"] == 0.0
+    assert rows["a"]["distinct_u"] > 0
+    assert rows["b"]["distinct_s"] > 0

@@ -272,3 +272,69 @@ def test_media_header_parsing(spark):
     assert got[2]["format"] == "jpeg" and got[2]["height"] == 9
     assert got[3]["format"] == "wav" and got[3]["sample_rate"] == 16000
     assert got[4]["format"] == "unknown" and got[4]["width"] is None
+
+
+def test_degenerate_bucket_capped(spark, docs):
+    """A planted degenerate bucket (2k copies of one document) must not
+    blow up the LSH self-join: with the cap, the pipeline finishes with the
+    copies' buckets dropped (logged) and pairs among the REST of the corpus
+    identical to a run without the copies."""
+    base = docs.where(F.col("doc_id") < 150).select("doc_id", "text")
+    one_text = base.where(F.col("doc_id") == 0).first()["text"]
+    copies = spark.range(2000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(one_text).alias("text")
+    )
+    poisoned = base.unionByName(copies)
+
+    def pairset(df, **kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_near_duplicates(df, threshold=0.7, **kw).collect()
+        }
+
+    clean = pairset(base)
+    capped = pairset(poisoned, max_bucket_size=256)
+    # the planted mass floods exactly the buckets of doc 0's near-dup
+    # cluster, so dropping them removes pairs touching that cluster (its
+    # members share the over-cap buckets) and NOTHING else
+    cluster = {0}
+    for _ in range(len(clean)):  # transitive closure of pairs touching doc 0
+        cluster |= {i for p in clean if set(p) & cluster for i in p}
+    assert capped == {p for p in clean if not set(p) & cluster}
+    assert all(a < 1_000_000 and b < 1_000_000 for a, b in capped)
+
+
+def test_simhash_bucket_cap(spark, docs):
+    """SimHash near-dup with a planted degenerate chunk bucket finishes and
+    reports no pair touching the planted mass."""
+    base = docs.where(F.col("doc_id") < 100).select("doc_id", "text")
+    one_text = base.where(F.col("doc_id") == 1).first()["text"]
+    copies = spark.range(1500).select(
+        (F.col("id") + 1_000_000).alias("doc_id"), F.lit(one_text).alias("text")
+    )
+    out = dedup.simhash_near_duplicates(
+        base.unionByName(copies), max_bucket_size=128
+    ).collect()
+    assert all(r["id_a"] < 1_000_000 and r["id_b"] < 1_000_000 for r in out)
+
+
+def test_near_dup_cosine_exchange_carries_ids_only(spark, emb):
+    """The candidate-pair distinct must not shuffle embeddings: no exchange
+    below the pair dedup aggregate may carry the vector column."""
+    dim = len(emb.select("embedding").first()[0])
+    plan = (
+        similarity.near_duplicates_by_cosine(emb, dim, threshold=0.9)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the Aggregate (pair distinct) and the joins feeding it mention only
+    # ids/band/val; embeddings appear solely in the two final re-rank joins
+    agg_section = plan.split("Deduplicate")[0] if "Deduplicate" in plan else plan
+    first_agg = plan.find("Aggregate")
+    assert first_agg != -1
+    below = plan[first_agg:]
+    # the subtree under the dedup aggregate (candidate generation) must not
+    # reference the embedding column except via the base relation scans of
+    # the re-rank joins, which sit ABOVE the aggregate in this plan
+    assert "embedding" not in below.split("Join", 1)[0]
