@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves pd.Series hints here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -285,11 +286,28 @@ def _q_simhash_self_hamming(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_minhash_lsh_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, value-matched against DuckDB's
+    EXHAUSTIVE word-3-gram jaccard self-join: the corpus slice is augmented
+    with five planted near-twins (three appended tokens, jaccard n/(n+3) ~
+    0.97+) identically on both sides.  At threshold 0.8 with 16 bands x 4
+    rows a true pair at s >= 0.8 shares a band w.p. >= 1-(1-0.8^4)^16 ~
+    0.9997 (planted twins: ~1-1e-16), and hashing is seeded/deterministic —
+    the candidate set is exhaustive on this corpus, so LSH+verify equals
+    the exhaustive join row for row."""
     from hllspark import dedup
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    twins = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx zqx zqx")).alias("text"),
+    )
+    aug = docs.unionByName(twins)
     return (
-        dedup.minhash_near_duplicates(docs, threshold=0.8)
+        dedup.minhash_near_duplicates(aug, threshold=0.8)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -782,22 +800,43 @@ def _q_tdigest_median_within_tol(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_kll_rank_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Global KLL rank check, fully distributed: the only collect is the
+    single global sketch row (bounded by construction); the true ranks of
+    all estimated quantiles come from ONE pass over events via a broadcast
+    join with the 5-row quantile table."""
     from hllspark.sketches import generic, kll
 
     ev = _t(spark, sf, "events")
     sk = generic.sketch_agg(ev, "value", kll.kind(200)).first()["sketch"]
     s = kll.decode(bytes(sk))
     qs = [0.1, 0.25, 0.5, 0.75, 0.9]
-    est_vals = s.quantile(qs)
-    n = ev.count()
-    rows = []
-    for q, v in zip(qs, est_vals):
-        true_rank = ev.where(F.col("value") <= float(v)).count() / n
-        rows.append((float(q), int(abs(true_rank - q) < 0.03)))
-    return spark.createDataFrame(rows, "q double, rank_ok int").orderBy("q")
+    est = spark.createDataFrame(
+        [(float(q), float(v)) for q, v in zip(qs, s.quantile(qs))],
+        "q double, quantile double",
+    )
+    ranked = (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("q")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("quantile")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("true_rank")
+        )
+    )
+    return ranked.select(
+        "q",
+        (F.abs(F.col("true_rank") - F.col("q")) < 0.03).cast("int").alias("rank_ok"),
+    ).orderBy("q")
 
 
 def _q_countmin_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min point-estimate bounds, distributed: true counts for the 25
+    probed ids come from a broadcast-semi-join aggregate (never the full
+    truth table); the CM table (width x depth longs, bounded by
+    construction) rides into an Arrow-batched pandas UDF as a closure."""
+    import numpy as np
+
     from hllspark.sketches import countmin, generic
 
     ev = _t(spark, sf, "events")
@@ -806,37 +845,70 @@ def _q_countmin_bounds(spark: SparkSession, sf: str) -> DataFrame:
         "sketch"
     ]
     cm = countmin.decode(bytes(sk))
-    import numpy as np
+    n = ev.count()
+    ids = ev.select("user_id").distinct().orderBy("user_id").limit(25)
+    truth = (
+        ev.join(F.broadcast(ids), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
-    truth = {
-        r["user_id"]: r["cnt"]
-        for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
-    }
-    ids = sorted(truth)[:25]
-    n = sum(truth.values())
-    est = countmin.point_estimate(cm, np.array(ids, dtype=np.int64))
-    rows = [
-        (int(uid), int(truth[uid] <= e <= truth[uid] + 3 * np.e / width * n))
-        for uid, e in zip(ids, est)
-    ]
-    return spark.createDataFrame(rows, "user_id long, count_ok int").orderBy("user_id")
+    @F.pandas_udf("double")
+    def cm_estimate(uid: pd.Series) -> pd.Series:
+        if len(uid) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(
+            countmin.point_estimate(cm, uid.to_numpy().astype(np.int64)),
+            dtype="float64",
+        )
+
+    eps_n = 3 * float(np.e) / width * n
+    return (
+        truth.withColumn("est", cm_estimate(F.col("user_id")))
+        .select(
+            "user_id",
+            (
+                (F.col("cnt") <= F.col("est"))
+                & (F.col("est") <= F.col("cnt") + F.lit(eps_n))
+            )
+            .cast("int")
+            .alias("count_ok"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def _q_bloom_no_false_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom membership check, distributed: every distinct user is probed
+    inside an Arrow-batched pandas UDF (the filter bits — sized m/8 bytes
+    by construction — ride in as a closure) and the verdict is a single
+    min() aggregate; no unbounded set ever reaches the driver."""
+    import numpy as np
+
     from hllspark.sketches import bloom, generic
 
     ev = _t(spark, sf, "events")
-    import numpy as np
-
     n_users = ev.select(F.countDistinct("user_id")).first()[0]
     m, kh = bloom.params_for(max(n_users, 1), 0.01)
     sk = generic.sketch_agg(ev, "user_id", bloom.kind(m, kh)).first()["sketch"]
     bits, k2 = bloom.decode(bytes(sk))
-    users = np.array(
-        [r[0] for r in ev.select("user_id").distinct().collect()], dtype=np.int64
+
+    @F.pandas_udf("boolean")
+    def contains(uid: pd.Series) -> pd.Series:
+        if len(uid) == 0:
+            return pd.Series([], dtype="bool")
+        return pd.Series(
+            bloom.might_contain(bits, uid.to_numpy().astype(np.int64), k2)
+        )
+
+    return (
+        ev.select("user_id")
+        .distinct()
+        .agg(
+            F.coalesce(F.min(contains(F.col("user_id")).cast("int")), F.lit(1))
+            .alias("no_false_negatives")
+        )
     )
-    ok = bool(bloom.might_contain(bits, users, k2).all())
-    return spark.createDataFrame([(int(ok),)], "no_false_negatives int")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1088,7 +1160,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 0 AS self_hamming FROM documents "
             "WHERE doc_id < 50 ORDER BY doc_id"
         ),
-        # minhash_lsh_near_dups: rows-only (LSH recall is probabilistic)
+        "minhash_lsh_near_dups": (
+            "WITH aug AS ("
+            "  SELECT doc_id, text FROM documents WHERE doc_id < 300"
+            "  UNION ALL"
+            "  SELECT doc_id + 20000, text || ' zqx zqx zqx'"
+            "  FROM documents WHERE doc_id < 5), "
+            "g AS ("
+            "  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') "
+            "  for i in range(1, len(w) - 1)]) AS gs "
+            "  FROM (SELECT doc_id, regexp_split_to_array(trim(text), "
+            "  '\\s+') AS w FROM aug) WHERE len(w) >= 3) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "round(len(list_intersect(a.gs, b.gs)) * 1.0 / "
+            "len(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard "
+            "FROM g a, g b WHERE a.doc_id < b.doc_id "
+            "AND len(list_intersect(a.gs, b.gs)) * 1.0 / "
+            "len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8 "
+            "ORDER BY id_a, id_b"
+        ),
         "farmhash_golden": (
             f"SELECT * FROM (VALUES {golden_rows}) t(i, h) ORDER BY i"
         ),
