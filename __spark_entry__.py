@@ -878,6 +878,33 @@ def _q_countmin_bounds(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cpc_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """CPC coupon sketch (Lang'17, the reference's DataSketches baseline —
+    datasketches/measure.cpp:92-96,161-169): per-type distinct-user
+    estimates within 4x the ICON-ballpark RSE of the exact counts."""
+    from hllspark.sketches import cpc, generic
+
+    ev = _t(spark, sf, "events")
+    k = 2048
+    sk = generic.sketch_agg(ev, "user_id", cpc.kind(k), keys=["event_type"])
+    est_udf = generic.query_udf(lambda b: cpc.estimate(cpc.decode(b)), "double")
+    est = sk.select("event_type", est_udf(F.col("sketch")).alias("est"))
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                (F.abs(F.col("est") - F.col("exact")) / F.col("exact"))
+                <= F.lit(4 * cpc.rse(k))
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_bloom_no_false_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom membership check, distributed: every distinct user is probed
     inside an Arrow-batched pandas UDF (the filter bits — sized m/8 bytes
@@ -918,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_rank_error": _q_kll_rank_error,
         "countmin_bounds": _q_countmin_bounds,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
+        "cpc_within_bound": _q_cpc_within_bound,
         "quality_stats_by_lang": _q_quality_stats_by_lang,
         "bpe_token_counts": _q_bpe_token_counts,
         "fingerprint_collision_free": _q_fingerprint_collision_free,
@@ -989,6 +1017,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events ORDER BY user_id LIMIT 25) ORDER BY user_id"
         ),
         "bloom_no_false_negatives": "SELECT 1 AS no_false_negatives",
+        "cpc_within_bound": (
+            "SELECT event_type, 1 AS within_bound FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "quality_stats_by_lang": (
             "WITH f AS (SELECT lang, length(text) AS n_chars, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, "

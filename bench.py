@@ -32,7 +32,9 @@ SYNTH_ROWS = int(os.environ.get("HLLSPARK_BENCH_SYNTH_ROWS", str(20_000_000)))
 
 
 def build_session() -> SparkSession:
-    return (
+    from hllspark import jvmagg
+
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("hllspark-bench")
         .config("spark.sql.shuffle.partitions", str(CPUS))
@@ -42,8 +44,12 @@ def build_session() -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
-        .getOrCreate()
     )
+    if os.path.exists(jvmagg.jar_path()):
+        builder = builder.config(
+            "spark.driver.extraClassPath", jvmagg.jar_path()
+        ).config("spark.jars", jvmagg.jar_path())
+    return builder.getOrCreate()
 
 
 def timed(fn, reps: int = REPS) -> float:

@@ -1,0 +1,154 @@
+"""CPC-style compressed coupon sketch — Lang, "Back to the Future: an Even
+More Nearly Optimal Cardinality Estimation Algorithm" (arXiv:1708.06839),
+the algorithm behind Apache DataSketches' CPC.
+
+This fills the reference's last comparison-baseline row: the reference
+benchmarks DataSketches CPC as an accuracy/space baseline next to its HLL
+variants (/root/reference/datasketches/measure.cpp:92-96,161-169, selected
+in experiments.py:78-79).  Spark has no CPC built-in and this sandbox has
+no DataSketches wheel, so this is a from-scratch implementation of the
+sketch CORE from the public paper:
+
+- State ("coupon matrix"): k rows x 64 columns of bits.  An item's 64-bit
+  hash splits into row = low lg(k) bits and a geometric column
+  col = clz(hash << lg k) (capped at 63 for the all-zero remainder).  A
+  (row, col) pair is a "coupon"; the sketch is the OR of all coupons seen.
+- Merge: bitwise OR of matrices — associative/commutative, the same monoid
+  contract as every other sketch in this engine.
+- Estimate: Lang's ICON estimator inverts E[#coupons](n) via precomputed
+  characteristic tables; we invert the SAME function numerically instead
+  (it is available in closed form, monotone in n, so 90 bisection steps
+  give full double precision):
+      E[C(n)] = k * sum_j (1 - (1 - q_j / k)^n),
+      q_j = 2^-(j+1) for j <= 63 - lg k,  q_63 = 2^-(64 - lg k).
+  This is the method-of-moments estimator the ICON tables approximate;
+  accuracy is empirically ~0.8/sqrt(k) RSE (pytest-verified), matching the
+  ICON ballpark (sqrt(ln 2 / k)).
+- Wire format: Lang's arithmetic coding of the matrix is replaced by
+  DEFLATE over the row bitmasks — a deterministic surrogate that keeps the
+  "compressed transport" property (sparse matrices compress to ~coupon
+  count bytes) without porting the paper's entropy coder.
+
+Not implemented from the paper: the HIP streaming estimator (not
+mergeable; this engine's states must merge associatively) and the
+arithmetic coder (above).  Both are documented trade-offs, not gaps in the
+query surface.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..hashing import clz64, hash_items
+from .generic import SketchKind
+
+_MAGIC = b"CPC1"
+
+
+def _lgk(k: int) -> int:
+    lg = k.bit_length() - 1
+    if 1 << lg != k or not 4 <= lg <= 20:
+        raise ValueError("cpc k must be a power of two in [2^4, 2^20]")
+    return lg
+
+
+def zero(k: int):
+    _lgk(k)
+    return (k, np.zeros(k, dtype=np.uint64))
+
+
+def update(state, values):
+    k, rows = state
+    if hasattr(values, "to_numpy"):
+        values = values.to_numpy()
+    if len(values) == 0:
+        return state
+    lg = _lgk(k)
+    h = hash_items(np.asarray(values))
+    row = (h & np.uint64(k - 1)).astype(np.int64)
+    w = h << np.uint64(lg)
+    col = np.minimum(clz64(w), 63).astype(np.uint64)
+    np.bitwise_or.at(rows, row, np.uint64(1) << col)
+    return (k, rows)
+
+
+def merge(a, b):
+    ka, ra = a
+    kb, rb = b
+    if ka != kb:
+        raise ValueError("cpc k mismatch")
+    return (ka, ra | rb)
+
+
+def coupon_count(state) -> int:
+    _, rows = state
+    return int(np.sum(np.unpackbits(rows.view(np.uint8))))
+
+
+def _expected_coupons(n: float, k: int) -> float:
+    """E[C(n)] under the exact coupon probability model (see module doc)."""
+    lg = _lgk(k)
+    js = np.arange(0, 64 - lg, dtype=np.float64)
+    q = np.empty(len(js) + 1, dtype=np.float64)
+    q[:-1] = np.exp2(-(js + 1.0))
+    q[-1] = np.exp2(-(64.0 - lg))  # the all-zero remainder -> column 63
+    # (1 - q/k)^n via n*log1p(-q/k): stable for tiny q and huge n
+    return float(k * np.sum(1.0 - np.exp(n * np.log1p(-q / k))))
+
+
+def estimate(state) -> float:
+    """Invert the monotone E[C](n) at the observed coupon count."""
+    k, _ = state
+    c = coupon_count(state)
+    if c == 0:
+        return 0.0
+    # bracket: E[C] is concave increasing from 0; grow hi geometrically
+    lo, hi = 0.0, float(max(c, 1))
+    while _expected_coupons(hi, k) < c:
+        lo, hi = hi, hi * 2.0
+        if hi > 1e18:  # matrix effectively saturated
+            return hi
+    for _ in range(90):
+        mid = 0.5 * (lo + hi)
+        if _expected_coupons(mid, k) < c:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def rse(k: int) -> float:
+    """Empirical relative standard error of the inversion estimator —
+    ~0.8/sqrt(k), the ICON ballpark (sqrt(ln 2 / k) ~ 0.83/sqrt(k))."""
+    return 0.83 / (k ** 0.5)
+
+
+def encode(state) -> bytes:
+    k, rows = state
+    packed = zlib.compress(rows.astype("<u8").tobytes(), 6)
+    return _MAGIC + struct.pack("<I", k) + packed
+
+
+def decode(buf: bytes):
+    buf = bytes(buf)
+    if buf[:4] != _MAGIC:
+        raise ValueError("bad cpc header")
+    (k,) = struct.unpack_from("<I", buf, 4)
+    rows = np.frombuffer(zlib.decompress(buf[8:]), dtype="<u8").astype(np.uint64)
+    if len(rows) != k:
+        raise ValueError("cpc payload length mismatch")
+    return (k, rows)
+
+
+def kind(k: int = 2048) -> SketchKind:
+    return SketchKind(
+        name=f"cpc-{k}",
+        zero=lambda: zero(k),
+        update=update,
+        merge=merge,
+        encode=encode,
+        decode=decode,
+    )

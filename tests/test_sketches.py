@@ -431,3 +431,59 @@ class TestKMV:
         for r in rows:
             st = kmv.decode(bytes(r["sketch"]))
             assert abs(kmv.estimate(st) - 2500) / 2500 < 4 / np.sqrt(512)
+
+
+class TestCPC:
+    def test_estimate_across_regimes(self):
+        from hllspark.sketches import cpc
+
+        k = 2048
+        for n in (50, 1500, 60000, 400000):
+            rng = np.random.default_rng(n)
+            vals = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+            nd = len(np.unique(vals))
+            est = cpc.estimate(cpc.update(cpc.zero(k), vals))
+            assert abs(est - nd) / nd < 4 * cpc.rse(k), (n, est, nd)
+
+    def test_merge_equals_union_feed(self):
+        from hllspark.sketches import cpc
+
+        rng = np.random.default_rng(9)
+        a = rng.integers(0, 1 << 62, 30000, dtype=np.uint64)
+        b = rng.integers(0, 1 << 62, 30000, dtype=np.uint64)
+        m = cpc.merge(
+            cpc.update(cpc.zero(1024), a), cpc.update(cpc.zero(1024), b)
+        )
+        u = cpc.update(cpc.zero(1024), np.concatenate([a, b]))
+        np.testing.assert_array_equal(m[1], u[1])
+
+    def test_round_trip_and_compression(self):
+        from hllspark.sketches import cpc
+
+        st = cpc.update(cpc.zero(2048), np.arange(3000, dtype=np.uint64))
+        k2, rows2 = cpc.decode(cpc.encode(st))
+        assert k2 == 2048
+        np.testing.assert_array_equal(rows2, st[1])
+        # the deflate transport must beat the raw matrix on sparse states
+        assert len(cpc.encode(cpc.update(cpc.zero(2048), np.arange(100)))) < 2048 * 8 / 4
+
+    def test_validation(self):
+        from hllspark.sketches import cpc
+
+        with pytest.raises(ValueError):
+            cpc.zero(1000)  # not a power of two
+        with pytest.raises(ValueError):
+            cpc.merge(cpc.zero(512), cpc.zero(1024))
+
+    def test_spark_grouped(self, spark):
+        from hllspark.sketches import cpc, generic
+
+        df = spark.range(40000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            (F.col("id") % 9000).alias("v"),
+        ).repartition(8)
+        rows = generic.sketch_agg(df, "v", cpc.kind(1024), keys=["g"]).collect()
+        assert len(rows) == 2
+        for r in rows:
+            st = cpc.decode(bytes(r["sketch"]))
+            assert abs(cpc.estimate(st) - 4500) / 4500 < 4 * cpc.rse(1024)
