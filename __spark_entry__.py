@@ -313,6 +313,45 @@ def _q_minhash_lsh_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _aug_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared near-dup fixture: documents slice + five planted
+    near-twins (see _q_minhash_lsh_near_dups)."""
+    docs = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    twins = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx zqx zqx")).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate clusters: MinHash+LSH pairs -> connected components
+    (min-label propagation).  Value-matched against DuckDB's recursive-CTE
+    transitive closure over the exhaustive jaccard pair graph."""
+    from hllspark import dedup
+
+    pairs = dedup.minhash_near_duplicates(_aug_docs(spark, sf), threshold=0.8)
+    return (
+        dedup.connected_components(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_near_dedup_count(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dedup: keep one representative per near-dup cluster;
+    the surviving row count must equal n - (nodes - components) computed
+    exhaustively by the DuckDB oracle."""
+    from hllspark import dedup
+
+    kept = dedup.deduplicate_near(_aug_docs(spark, sf), threshold=0.8)
+    return kept.agg(F.count(F.lit(1)).alias("n_after_near_dedup"))
+
+
 def _q_farmhash_golden(spark: SparkSession, sf: str) -> DataFrame:
     """Reference hash parity inside the oracle gate: farmhash::Hash64 of the
     reference's own golden inputs (test.cpp:428-437), as signed int64."""
@@ -655,6 +694,35 @@ def _q_ann_ivf_top3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_indexed_top3(spark: SparkSession, sf: str) -> DataFrame:
+    """The WRITE-SIDE IVF path: materialize the corpus partitioned by cell
+    (write_ivf_index), probe via partition-pruned scans
+    (ivf_top_k_indexed).  With nprobe == n_centroids every cell is probed,
+    so the result must equal exact brute-force cosine top-3 row for row —
+    the same oracle as ann_ivf_top3, now through the on-disk index."""
+    import hashlib
+
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    path = (
+        "/tmp/hllspark_ivf_index_"
+        + hashlib.sha1(sf.encode()).hexdigest()[:10]
+    )
+    similarity.write_ivf_index(emb, path, dim, n_centroids=8)
+    queries_df = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        similarity.ivf_top_k_indexed(spark, path, queries_df, k=3, nprobe=8)
+        .select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _q_sketch_rollup_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP over sketch columns: fine-grain (event_type) sketches
     re-merged to every rollup grain without rescanning events; every grain's
@@ -954,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_counts": _q_frame_sample_counts,
         "ann_lsh_recall": _q_ann_lsh_recall,
         "ann_ivf_top3": _q_ann_ivf_top3,
+        "ann_ivf_indexed_top3": _q_ann_ivf_indexed_top3,
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
         "hllzstd_within_bound": _q_hllzstd_within_bound,
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
@@ -976,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_markers": _q_lang_id_markers,
         "simhash_self_hamming": _q_simhash_self_hamming,
         "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
+        "near_dedup_count": _q_near_dedup_count,
         "farmhash_golden": _q_farmhash_golden,
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
         "exact_distinct_docs_by_lang": _q_exact_distinct_docs_by_lang,
@@ -1063,6 +1134,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE r.range % 3 = 2 ORDER BY media_id"
         ),
         "ann_lsh_recall": "SELECT 1 AS lsh_recall_ok",
+        "ann_ivf_indexed_top3": (
+            "SELECT a.vec_id AS query_id, b.vec_id, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < 3 "
+            "QUALIFY rank <= 3 ORDER BY query_id, rank"
+        ),
         "ann_ivf_top3": (
             "SELECT a.vec_id AS query_id, b.vec_id, "
             "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -1192,6 +1273,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 0 AS self_hamming FROM documents "
             "WHERE doc_id < 50 ORDER BY doc_id"
         ),
+        "dedup_clusters": "WITH RECURSIVE aug AS (\n  SELECT doc_id, text FROM documents WHERE doc_id < 300\n  UNION ALL\n  SELECT doc_id + 20000, text || ' zqx zqx zqx' FROM documents WHERE doc_id < 5),\ng AS (\n  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')\n  for i in range(1, len(w) - 1)]) AS gs\n  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w\n  FROM aug) WHERE len(w) >= 3),\np AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b\n  WHERE a.doc_id < b.doc_id\n    AND len(list_intersect(a.gs, b.gs)) * 1.0 /\n        len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),\ne AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),\nreach(id, lbl) AS (\n  SELECT s, s FROM e\n  UNION\n  SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d)\nSELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id",
+        "near_dedup_count": "WITH RECURSIVE aug AS (\n  SELECT doc_id, text FROM documents WHERE doc_id < 300\n  UNION ALL\n  SELECT doc_id + 20000, text || ' zqx zqx zqx' FROM documents WHERE doc_id < 5),\ng AS (\n  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')\n  for i in range(1, len(w) - 1)]) AS gs\n  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w\n  FROM aug) WHERE len(w) >= 3),\np AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b\n  WHERE a.doc_id < b.doc_id\n    AND len(list_intersect(a.gs, b.gs)) * 1.0 /\n        len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),\ne AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),\nreach(id, lbl) AS (\n  SELECT s, s FROM e\n  UNION\n  SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d),\ncomp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)\nSELECT (SELECT count(*) FROM aug)\n     - (SELECT count(*) FROM comp WHERE id != lbl) AS n_after_near_dedup",
         "minhash_lsh_near_dups": (
             "WITH aug AS ("
             "  SELECT doc_id, text FROM documents WHERE doc_id < 300"

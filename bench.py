@@ -105,6 +105,20 @@ def main() -> None:
         ).parquet(pages_path)
     pages = spark.read.parquet(pages_path)
 
+    # planted-skew corpus for q9: one document duplicated 2000x
+    one_text = documents.where(F.col("doc_id") == 0).first()["text"]
+    poisoned_docs = (
+        documents.select("doc_id", "text")
+        .unionByName(
+            spark.range(2000).select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.lit(one_text).alias("text"),
+            )
+        )
+        .cache()
+    )
+    poisoned_docs.count()
+
     queries = {
         "q0_pages_2m_urls_by_lang": lambda: agg.approx_distinct(
             pages, "url", ["lang"], p=14
@@ -140,6 +154,12 @@ def main() -> None:
         ).collect(),
         "q8_minhash_neardup_docs": lambda: dedup.minhash_near_duplicates(
             documents, threshold=0.7
+        ).count(),
+        # degenerate-bucket stress: 2k copies of one document flood the LSH
+        # buckets; the cap keeps the self-join bounded (uncapped this is
+        # O(copies^2) candidate pairs — the 100 TB failure mode)
+        "q9_skewed_neardup_capped": lambda: dedup.minhash_near_duplicates(
+            poisoned_docs, threshold=0.7, max_bucket_size=1024
         ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(

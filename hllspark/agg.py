@@ -672,11 +672,24 @@ def approx_distinct(
     keys = list(keys or [])
     impl = _resolve_impl(df, hash_mode, impl)
     if impl == "jvm":
+        # single ObjectHashAggregate finishing to the estimate in the JVM —
+        # the exact plan shape of approx_count_distinct, zero Python
+        from . import jvmagg
+
         _validate(p, algo, hash_mode, impl)
-        built = _raw_registers_jvm(df, value_col, keys, p, hash_mode)
-        return built.select(
-            *keys, estimate_raw_udf(F.col("__regs")).alias(estimate_col)
+        filtered = df.where(F.col(value_col).isNotNull())
+        v = (
+            F.xxhash64(F.col(value_col))
+            if hash_mode == "xxhash64"
+            else F.col(value_col).cast("long")
         )
+        projected = filtered.select(*keys, v.alias(_HASH_COL))
+        est = jvmagg.est_agg_column(df.sparkSession, p, _HASH_COL).alias(
+            estimate_col
+        )
+        if keys:
+            return projected.groupBy(*keys).agg(est)
+        return projected.agg(est)
     if impl == "sql":
         _validate(p, algo, hash_mode, impl)
         return _approx_distinct_sql(df, value_col, keys, p, hash_mode, estimate_col)
@@ -694,19 +707,54 @@ def approx_distinct_multi(
     keys: Sequence[str] | None = None,
     p: int = 14,
     estimate_prefix: str = "distinct_",
+    impl: str | None = None,
 ) -> DataFrame:
     """Distinct-count estimates for SEVERAL columns in ONE scan of the
     input — at warehouse scale V separate approx_distinct calls cost V
-    full passes; this projects all V hashes per row, posexplodes to
-    (col_idx, w), and runs the same bounded min-aggregate, so the scan
-    happens once and the shuffle carries <= #keys * V * m rows per map
-    task.  Output: one row per key combination with a column per input
-    column, pivoted JVM-side."""
+    full passes.  Output: one row per key combination with a column per
+    input column.
+
+    impl='jvm' (default when available): V independent register aggregates
+    run side by side in ONE HashAggregate over the scan — no row
+    amplification at all; the shuffle carries V m-byte buffers per (group,
+    map task).  impl='sql': projects all V hashes per row, posexplodes to
+    (col_idx, w) (a V-fold row amplification before the partial aggregate
+    — the price of staying fully declarative), and runs the same bounded
+    min-aggregate, so the shuffle carries <= #keys * V * m rows per map
+    task, then pivots JVM-side."""
     keys = list(keys or [])
     value_cols = list(value_cols)
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
-    _validate(p, "hll", "xxhash64", "sql")
+    impl = _resolve_impl(df, "xxhash64", impl)
+    if impl == "pandas":
+        impl = "sql"  # no pandas variant of the multi-column plan
+    _validate(p, "hll", "xxhash64", impl)
+    if impl == "jvm":
+        from . import jvmagg
+
+        # null mask BEFORE hashing: Spark's xxhash64(NULL) yields the seed
+        # hash (would count null as a value); a null hash is skipped by the
+        # aggregator, and an all-null column keeps its zero() buffer whose
+        # estimate is 0.0, matching the sql path's coalesce
+        projected = df.select(
+            *keys,
+            *[
+                F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(
+                    f"__h{i}"
+                )
+                for i, c in enumerate(value_cols)
+            ],
+        )
+        aggs = [
+            jvmagg.est_agg_column(df.sparkSession, p, f"__h{i}").alias(
+                f"{estimate_prefix}{c}"
+            )
+            for i, c in enumerate(value_cols)
+        ]
+        return (
+            projected.groupBy(*keys).agg(*aggs) if keys else projected.agg(*aggs)
+        )
     hashes = F.array(
         *[F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))) for c in value_cols]
     )

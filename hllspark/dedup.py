@@ -11,7 +11,14 @@ All plans are shuffle-conscious:
                         near-dup = same value in rotated prefix buckets or
                         hamming distance <= k on candidates.
 - n-gram jaccard      : exact verification operator for candidate pairs.
+- duplicate clusters  : connected components over the near-dup pair graph
+                        (min-label propagation; one bounded join + min-agg
+                        per round) -> deduplicate_near keeps one
+                        representative per cluster.
 - embedding cosine    : see hllspark.similarity (near_duplicates_by_cosine).
+
+Every LSH self-join routes through lshutil.drop_oversize_buckets (bounded
+worst case + logged drop telemetry).
 """
 
 from __future__ import annotations
@@ -269,6 +276,96 @@ def minhash_near_duplicates(
     return ngram_jaccard(cand, df, text_col, id_col, k).where(
         F.col("jaccard") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components of the (undirected) pair graph by min-label
+    propagation: returns (id, component) where component is the smallest id
+    in the node's component — the canonical representative used by
+    near-duplicate clustering.
+
+    Plan per iteration: one hash join (edges x labels, shuffled on id) +
+    one min-aggregate — shuffle volume bounded by the edge count, never the
+    corpus.  Iterations needed = graph diameter; near-dup graphs are
+    union-of-cliques-ish (tiny diameters), so this converges in a handful
+    of rounds.  Labels are localCheckpoint()ed each round to keep the
+    lineage flat (same reason GraphX/Pregel materializes per superstep);
+    convergence is detected by a changed-label count, one scalar action per
+    round.  Raises if not converged within ``max_iterations`` (pathological
+    chain graphs want the large-star/small-star variant; out of scope
+    until a real corpus needs it).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def deduplicate_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Near-duplicate corpus dedup end to end: MinHash+LSH pairs ->
+    connected components -> keep the smallest id per component (plus all
+    documents in no near-dup pair).  The anti-join removes only non-
+    representative members, so the output schema equals the input schema."""
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, threshold, k, num_hashes, bands, seed,
+        max_bucket_size,
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -57,11 +57,13 @@ def is_available(spark: SparkSession) -> bool:
     return _availability[key]
 
 
-def register(spark: SparkSession, p: int) -> str:
-    """Register (idempotently) the register-build UDAF for precision ``p``
-    and return its SQL function name."""
-    name = f"hllspark_regs_p{p}"
-    key = (_session_key(spark), p)
+def _register(spark: SparkSession, p: int, flavor: str) -> str:
+    """Register (idempotently) one of the two UDAFs for precision ``p`` and
+    return its SQL function name.  flavor: 'regs' (raw register bytes out —
+    for sketch_by / checkpointing) or 'est' (double estimate out — the
+    single-stage pure-JVM approx_distinct plan)."""
+    name = f"hllspark_{flavor}_p{p}"
+    key = (_session_key(spark), p, flavor)
     if key in _registered:
         return name
     if not is_available(spark):
@@ -71,16 +73,30 @@ def register(spark: SparkSession, p: int) -> str:
             "hllspark.jvmagg docstring)"
         )
     jvm = spark._jvm
+    agg_obj = (
+        jvm.hllspark.HllRegAggregator(p)
+        if flavor == "regs"
+        else jvm.hllspark.HllEstimateAggregator(p)
+    )
     udaf = jvm.org.apache.spark.sql.functions.udaf(
-        jvm.hllspark.HllRegAggregator(p),
-        jvm.org.apache.spark.sql.Encoders.LONG(),
+        agg_obj, jvm.org.apache.spark.sql.Encoders.LONG()
     )
     spark._jsparkSession.udf().register(name, udaf)
     _registered.add(key)
     return name
 
 
+def register(spark: SparkSession, p: int) -> str:
+    return _register(spark, p, "regs")
+
+
 def regs_agg_column(spark: SparkSession, p: int, hash_col: str) -> Column:
     """Aggregate expression building the raw dense byte[2^p] register array
     from a bigint hash column."""
-    return F.expr(f"{register(spark, p)}(`{hash_col}`)")
+    return F.expr(f"{_register(spark, p, 'regs')}(`{hash_col}`)")
+
+
+def est_agg_column(spark: SparkSession, p: int, hash_col: str) -> Column:
+    """Aggregate expression producing the distinct-count estimate (double)
+    from a bigint hash column — no Python stage anywhere in the plan."""
+    return F.expr(f"{_register(spark, p, 'est')}(`{hash_col}`)")

@@ -305,6 +305,91 @@ def ivf_top_k(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+):
+    """Materialize the IVF index as a parquet table PARTITIONED BY cell —
+    the write-side half of the 10^12-scale story: once the corpus lives in
+    per-cell directories, a probe query's cell filter becomes a partition
+    filter and the scan reads only nprobe/n_centroids of the files instead
+    of the whole corpus (verified in tests via PartitionFilters +
+    scanned-row counts).  Centroids are saved next to the data
+    (_ivf_centroids.json) so probes reuse the exact fitted cells.
+
+    Returns the fitted centroid matrix.  The JSON sidecar write uses the
+    local filesystem API; on an object store, write it through the same
+    FileSystem the parquet goes to.
+    """
+    import json
+    import os
+
+    C = fit_centroids(
+        corpus, dim, n_centroids, vec_col, sample_rows=sample_rows, seed=seed
+    )
+    one_cell = _assign_cells_udf(C, 1)
+    (
+        corpus.select(
+            id_col,
+            vec_col,
+            F.element_at(one_cell(F.col(vec_col)), 1).alias("__cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(C.tolist(), fh)
+    return C
+
+
+def ivf_top_k_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a written IVF index (write_ivf_index) with PARTITION-PRUNED
+    scans: the distinct probed cells (bounded by n_centroids — a tiny,
+    bounded collect) become a static ``__cell IN (...)`` predicate, which
+    Spark turns into a partition filter so only the probed cell directories
+    are read.  Everything after the scan matches ivf_top_k: broadcast the
+    exploded query-probe table, equi-join on cell, exact cosine re-rank."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "_ivf_centroids.json")) as fh:
+        C = np.asarray(json.load(fh), dtype=np.float64)
+    probe_cells = _assign_cells_udf(C, nprobe)
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.explode(probe_cells(F.col(query_vec_col))).alias("__cell"),
+    )
+    cells = sorted(r[0] for r in q.select("__cell").distinct().collect())
+    corpus = spark.read.parquet(index_path).where(F.col("__cell").isin(cells))
+    cand = corpus.join(F.broadcast(q), "__cell").select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def near_duplicates_by_cosine(
     df: DataFrame,
     dim: int,

@@ -29,9 +29,7 @@ public class HllRegAggregator extends Aggregator<Long, byte[], byte[]> {
   private final int p;
 
   public HllRegAggregator(int p) {
-    if (p < 4 || p > 18) {
-      throw new IllegalArgumentException("p must be in [4, 18], got " + p);
-    }
+    HllRegOps.checkP(p);
     this.p = p;
   }
 
@@ -42,27 +40,12 @@ public class HllRegAggregator extends Aggregator<Long, byte[], byte[]> {
 
   @Override
   public byte[] reduce(byte[] regs, Long hash) {
-    if (hash == null) {
-      return regs;
-    }
-    final long v = hash;
-    final int j = (int) (v >>> (64 - p));
-    final long w = v << p;
-    final int r = (w == 0) ? (64 - p + 1) : (Long.numberOfLeadingZeros(w) + 1);
-    if ((regs[j] & 0xFF) < r) {
-      regs[j] = (byte) r;
-    }
-    return regs;
+    return HllRegOps.update(regs, hash, p);
   }
 
   @Override
   public byte[] merge(byte[] a, byte[] b) {
-    for (int i = 0; i < a.length; i++) {
-      if ((b[i] & 0xFF) > (a[i] & 0xFF)) {
-        a[i] = b[i];
-      }
-    }
-    return a;
+    return HllRegOps.merge(a, b);
   }
 
   @Override

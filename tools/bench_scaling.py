@@ -52,7 +52,9 @@ P = 14
 def _session(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    from hllspark import jvmagg
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"hllspark-scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -60,8 +62,12 @@ def _session(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    if os.path.exists(jvmagg.jar_path()):
+        builder = builder.config(
+            "spark.driver.extraClassPath", jvmagg.jar_path()
+        ).config("spark.jars", jvmagg.jar_path())
+    return builder.getOrCreate()
 
 
 def ensure_fixture() -> None:
@@ -95,10 +101,16 @@ def worker(cpus: int) -> None:
     timed_rows = N_ROWS * COPIES
 
     def grouped():
-        agg.approx_distinct(pages, "url", ["lang"], p=P).collect()
+        agg.approx_distinct(pages, "url", ["lang"], p=P, impl="sql").collect()
 
     def global_():
-        agg.approx_distinct(pages, "url", p=P).collect()
+        agg.approx_distinct(pages, "url", p=P, impl="sql").collect()
+
+    def grouped_jvm():
+        agg.approx_distinct(pages, "url", ["lang"], p=P, impl="jvm").collect()
+
+    def global_jvm():
+        agg.approx_distinct(pages, "url", p=P, impl="jvm").collect()
 
     # platform ceiling: an EMPTY codegen pipeline (range -> xxhash64 -> max;
     # no scan, no shuffle, no Python).  Anything this box loses here is
@@ -111,13 +123,18 @@ def worker(cpus: int) -> None:
             F.max(F.xxhash64("id"))
         ).collect()
 
+    from hllspark import jvmagg
+
     out = {"cpus": cpus, "rows": timed_rows, "copies": COPIES,
            "ceiling_rows": ceiling_rows}
-    for name, fn in (
+    jobs = [
         ("grouped_by_lang", grouped),
         ("global", global_),
         ("platform_ceiling", ceiling),
-    ):
+    ]
+    if jvmagg.is_available(spark):
+        jobs[2:2] = [("grouped_jvm", grouped_jvm), ("global_jvm", global_jvm)]
+    for name, fn in jobs:
         rows_for = ceiling_rows if name == "platform_ceiling" else timed_rows
         fn()
         fn()  # two warm-ups: page cache + JVM C2 of codegen'd stages
@@ -223,8 +240,22 @@ def write_report(levels: dict[int, dict], sw: dict) -> dict:
         "",
         "| metric | local[8] | local[32] | scaling efficiency (tp32/tp8)/4 |",
         "|---|---|---|---|",
-        f"| grouped-by-lang rows/sec | {tp8:,} | {tp32:,} | **{eff:.3f}** |",
-        f"| global rows/sec | {tp8g:,} | {tp32g:,} | {effg:.3f} |",
+        f"| grouped-by-lang rows/sec (impl=sql) | {tp8:,} | {tp32:,} | **{eff:.3f}** |",
+        f"| global rows/sec (impl=sql) | {tp8g:,} | {tp32g:,} | {effg:.3f} |",
+    ] + (
+        [
+            f"| grouped-by-lang rows/sec (impl=jvm, production default) | "
+            f"{levels[8]['grouped_jvm']['rows_per_sec']:,} | "
+            f"{levels[32]['grouped_jvm']['rows_per_sec']:,} | "
+            f"{(levels[32]['grouped_jvm']['rows_per_sec'] / levels[8]['grouped_jvm']['rows_per_sec']) / 4:.3f} |",
+            f"| global rows/sec (impl=jvm, production default) | "
+            f"{levels[8]['global_jvm']['rows_per_sec']:,} | "
+            f"{levels[32]['global_jvm']['rows_per_sec']:,} | "
+            f"{(levels[32]['global_jvm']['rows_per_sec'] / levels[8]['global_jvm']['rows_per_sec']) / 4:.3f} |",
+        ]
+        if "grouped_jvm" in levels[8]
+        else []
+    ) + [
         f"| platform ceiling (empty codegen pipeline) rows/sec | {c8:,} | "
         f"{c32:,} | {effc:.3f} |",
         f"| grouped min-of-reps sec (least interference) | {t8_min} | "
