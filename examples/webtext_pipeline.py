@@ -5,7 +5,8 @@ library surface in one runnable job:
   pages(url, warc_ts, html, text, lang)
     1. extract text from html           (byte-identical invariant asserted)
     2. language-ID + quality filter     (JVM expressions, no Python)
-    3. exact dedup -> minhash near-dup  (one representative per dup group)
+    3. exact dedup -> near-dup clusters (MinHash+LSH -> connected components
+       -> one representative per cluster)
     4. sketch statistics:
          - distinct urls per lang           (HLL, SQL plan)
          - distinct 3-gram shingles per lang (HLLL, compressed bits reported)
@@ -32,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 from hllspark import agg, dedup, io as hio, session, sketch, text
-from hllspark.sketches import generic, misragries as mg
+from hllspark.sketches import cpc, generic, misragries as mg
 
 
 def main() -> int:
@@ -55,11 +56,15 @@ def main() -> int:
         (F.col("quality_score") > 0.3) & F.col("lang").isNotNull()
     )
 
-    # 3. dedup: exact first, then near-dup pairs on a slice (pair listing is
-    # quadratic in dup-cluster size, so production runs it per-bucket)
+    # 3. dedup: exact first (collapses identical docs cheaply), then
+    # near-dup clusters over a bounded slice — MinHash+LSH pairs (bucket-
+    # capped self-join) -> connected components -> keep one representative
     deduped = dedup.deduplicate_exact(
         kept.withColumn("doc_id", F.xxhash64("url")), "text", "doc_id"
     )
+    near_slice = deduped.where(F.abs(F.col("doc_id")) % 50 == 0)
+    near_deduped_slice = dedup.deduplicate_near(near_slice, threshold=0.8)
+    n_near_removed = near_slice.count() - near_deduped_slice.count()
 
     # 4. sketch statistics
     urls_by_lang = agg.approx_distinct(deduped, "url", ["lang"], p=13).collect()
@@ -83,6 +88,11 @@ def main() -> int:
         "host", mg.kind(32),
     ).collect()[0]["sketch"]
     top_hosts = mg.heavy_hitters(mg.decode(bytes(hosts)), deduped.count(), 0.05)
+    # CPC comparison baseline next to the HLL estimate (same scan pattern)
+    cpc_sk = generic.sketch_agg(deduped, "url", cpc.kind(2048)).collect()[0][
+        "sketch"
+    ]
+    cpc_global = cpc.estimate(cpc.decode(bytes(cpc_sk)))
 
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
@@ -98,9 +108,11 @@ def main() -> int:
         "kept_after_quality": kept.count(),
         "after_exact_dedup": deduped.count(),
         "langs": len(urls_by_lang),
+        "near_dup_removed_in_slice": n_near_removed,
         "global_url_estimate": round(
             next(r["distinct_estimate"] for r in rolled if r["day"] is None), 1
         ),
+        "global_url_estimate_cpc": round(cpc_global, 1),
         "hlll_shingle_bits": dict(shingle_stats),
         "p50_p90_by_lang": {
             f"{r['lang']}@{r['prob']}": r["quantile"] for r in quant[:6]

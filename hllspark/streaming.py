@@ -227,6 +227,54 @@ def snapshot_sink(writer, lineage_extra: dict | None = None):
     return sink
 
 
+def generic_sketch_stream(
+    sdf: DataFrame,
+    value_col: str,
+    kind,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-key incremental sketch for ANY mergeable SketchKind
+    (sketches.generic) — CPC, KMV, count-min, Bloom, KLL, t-digest,
+    Misra-Gries — via applyInPandasWithState: state = one encoded sketch
+    blob per key (byte-bounded by each kind's construction), update = the
+    kind's vectorized batch fold.  Emits (keys..., sketch binary) for keys
+    touched by each micro-batch (update mode).  For order-invariant kinds
+    (CPC's OR-matrix, KMV's k-minima) the final state is byte-identical to
+    the batch build; order-sensitive summaries (KLL, t-digest) agree
+    within their published error instead (pytest-gated both ways)."""
+    keys = list(keys or [])
+    group_cols = keys if keys else [_GLOBAL_KEY]
+    projected = sdf.where(F.col(value_col).isNotNull()).select(*keys, value_col)
+    if not keys:
+        projected = projected.withColumn(_GLOBAL_KEY, F.lit(1))
+    key_fields = (
+        [f for f in projected.schema.fields if f.name in group_cols]
+        if keys
+        else []
+    )
+    out_schema = StructType(key_fields + [StructField(_SKETCH_COL, BinaryType())])
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        st = kind.decode(bytes(state.get[0])) if state.exists else kind.zero()
+        for pdf in pdfs:
+            if len(pdf):
+                st = kind.update(st, pdf[value_col])
+        blob = kind.encode(st)
+        state.update((bytearray(blob),))
+        row = {f.name: [v] for f, v in zip(key_fields, key)} if keys else {}
+        row[_SKETCH_COL] = [blob]
+        yield pd.DataFrame(row)
+
+    return projected.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming deduplication (training-pipeline operator)
 # ---------------------------------------------------------------------------

@@ -235,3 +235,55 @@ def test_dedup_stream_approx_bounded_state(spark, tmp_path):
     assert len(seen) == len(set(seen))          # never a duplicate
     assert len(seen) >= 500 * 0.98              # few false-positive drops
     assert len(seen) <= 500
+
+
+def test_generic_sketch_stream_cpc_byte_identical(spark, tmp_path):
+    """CPC streams through generic_sketch_stream: the OR-matrix monoid is
+    order-invariant, so the final streamed state must equal the batch
+    build byte for byte, per group."""
+    from hllspark.sketches import cpc, generic
+
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, files=3)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    kind = cpc.kind(512)
+    out = streaming.generic_sketch_stream(sdf, "user_id", kind, ["grp"])
+    rows = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            rows[r["grp"]] = bytes(r["sketch"])
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+    expected = {
+        r["grp"]: bytes(r["sketch"])
+        for r in generic.sketch_agg(batch_df, "user_id", kind, ["grp"]).collect()
+    }
+    assert rows == expected
+
+
+def test_generic_sketch_stream_kll_quantiles(spark, tmp_path):
+    """KLL streams with bounded per-key state; streamed quantiles agree
+    with the exact ranks within the published error."""
+    from hllspark.sketches import kll
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, n=8000, files=2)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    kind = kll.kind(200)
+    out = streaming.generic_sketch_stream(sdf, "user_id", kind)
+    blobs = []
+
+    def sink(bdf, bid):
+        blobs.extend(bytes(r["sketch"]) for r in bdf.collect())
+
+    _run_stream(out, sink, str(tmp_path / "ck2"))
+    assert blobs
+    s = kll.decode(blobs[-1])
+    med = float(np.asarray(s.quantile([0.5]))[0])
+    # user_id is uniform over [0, 1200): true median ~600
+    assert abs(med - 600) / 600 < 0.1
