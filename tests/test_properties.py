@@ -117,3 +117,70 @@ def test_convert_round_trip_property(seq, a, b):
     np.testing.assert_array_equal(sketch.decode(back), regs)
     if a == "hlll":
         assert sketch.bit_size(back) == hlll.minimum_bits(regs, 3)
+
+
+# ---------------------------------------------------------------------------
+# PackedVector dynamic ops (reference PackedVector.hpp:156-219)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    width=st.integers(min_value=1, max_value=63),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "insert", "erase", "set"]),
+            st.integers(min_value=0, max_value=1 << 63),
+            st.integers(min_value=0, max_value=200),
+        ),
+        max_size=60,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_packed_vector_matches_list_model(width, ops):
+    """Model-based property test: PackedVector behaves exactly like a plain
+    Python list of width-masked ints under arbitrary op sequences,
+    including values straddling 64-bit word boundaries."""
+    from hllspark.packedvector import PackedVector
+
+    pv = PackedVector(width)
+    model = []
+    mask = (1 << width) - 1
+    for op, value, pos in ops:
+        if op == "append":
+            pv.append(value)
+            model.append(value & mask)
+        elif op == "insert":
+            i = pos % (len(model) + 1)
+            pv.insert(i, value)
+            model.insert(i, value & mask)
+        elif op == "erase" and model:
+            i = pos % len(model)
+            pv.erase(i)
+            del model[i]
+        elif op == "set" and model:
+            i = pos % len(model)
+            pv.set(i, value)
+            model[i] = value & mask
+    assert len(pv) == len(model)
+    assert [pv.get(i) for i in range(len(pv))] == model
+    np.testing.assert_array_equal(
+        pv.to_numpy(), np.array(model, dtype=np.uint64)
+    )
+
+
+@given(
+    width=st.integers(min_value=1, max_value=63),
+    values=st.lists(st.integers(min_value=0, max_value=1 << 63), max_size=100),
+)
+@settings(max_examples=40, deadline=None)
+def test_packed_vector_round_trip(width, values):
+    from hllspark.packedvector import PackedVector
+
+    mask = (1 << width) - 1
+    pv = PackedVector.from_numpy(
+        np.array([v & mask for v in values], dtype=np.uint64), width
+    )
+    np.testing.assert_array_equal(
+        pv.to_numpy(), np.array([v & mask for v in values], dtype=np.uint64)
+    )
+    assert pv.capacity >= len(values)
