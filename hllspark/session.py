@@ -67,6 +67,10 @@ def configured_builder(
 
     cores=None -> local[*].  shuffle_partitions defaults to the core count
     (every exchange after the scan is tiny; more would be pure overhead)."""
+    import os
+
+    from . import jvmagg
+
     b = SparkSession.builder.appName(app_name).master(
         f"local[{cores}]" if cores else "local[*]"
     )
@@ -76,12 +80,23 @@ def configured_builder(
         b = b.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions or cores)
         )
+    if os.path.exists(jvmagg.jar_path()):
+        # JVM register-aggregate fast path (impl='jvm' auto-selects);
+        # must land on the driver classpath before JVM launch
+        b = b.config("spark.driver.extraClassPath", jvmagg.jar_path()).config(
+            "spark.jars", jvmagg.jar_path()
+        )
     return b
 
 
 def apply_cluster_defaults(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Layer sketch + cluster defaults onto an externally-managed builder
-    (spark-submit provides master/executor sizing; we only set semantics)."""
+    (spark-submit provides master/executor sizing; we only set semantics).
+
+    For the JVM fast path under spark-submit, ship the jar yourself:
+    ``--jars hllspark/jars/hllspark-jvm.jar --driver-class-path
+    hllspark/jars/hllspark-jvm.jar`` (tools/bench_cluster.py does exactly
+    this against a real standalone cluster)."""
     for k, v in SKETCH_DEFAULTS.items():
         builder = builder.config(k, v)
     for k, v in CLUSTER_DEFAULTS.items():

@@ -100,3 +100,28 @@ def test_jvm_null_values_ignored(spark):
         df, "v", p=p, impl="jvm"
     ).first()["distinct_estimate"]
     assert round(est) == 2  # linear-counting regime: exact
+
+
+def test_raw_registers_api_with_estimate_udf(spark, events):
+    """The raw-register building blocks compose: regs_agg_column produces
+    dense register bytes whose estimate_raw_udf estimate equals the
+    all-in-JVM approx_distinct output bit for bit."""
+    projected = events.where(F.col("user_id").isNotNull()).select(
+        "event_type", F.xxhash64("user_id").alias("__h")
+    )
+    regs = projected.groupBy("event_type").agg(
+        jvmagg.regs_agg_column(spark, 12, "__h").alias("__regs")
+    )
+    via_raw = {
+        r["event_type"]: r["est"]
+        for r in regs.select(
+            "event_type", agg.estimate_raw_udf(F.col("__regs")).alias("est")
+        ).collect()
+    }
+    via_jvm = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in agg.approx_distinct(
+            events, "user_id", ["event_type"], p=12, impl="jvm"
+        ).collect()
+    }
+    assert via_raw == via_jvm

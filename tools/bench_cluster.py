@@ -97,24 +97,35 @@ def job(cores: int) -> None:
     timed_rows = N_ROWS * COPIES
 
     def grouped():
-        agg.approx_distinct(pages, "url", ["lang"], p=P).collect()
+        agg.approx_distinct(pages, "url", ["lang"], p=P, impl="sql").collect()
+
+    def grouped_jvm():
+        agg.approx_distinct(pages, "url", ["lang"], p=P, impl="jvm").collect()
 
     out = {"cores_max": cores, "rows": timed_rows,
            "executors": spark.sparkContext.defaultParallelism // 8}
-    grouped()
-    grouped()
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        grouped()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    med = times[len(times) // 2]
-    out["grouped_by_lang"] = {
-        "median_sec": round(med, 4),
-        "rows_per_sec": round(timed_rows / med),
-        "times": [round(t, 4) for t in times],
-    }
+    from hllspark import jvmagg
+
+    jobs = [("grouped_by_lang", grouped)]
+    if jvmagg.is_available(spark):
+        # the jar reached this driver via --driver-class-path and the
+        # separate executor JVMs via --jars: the real-cluster shipping path
+        jobs.append(("grouped_jvm", grouped_jvm))
+    for name, fn in jobs:
+        fn()
+        fn()
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        med = times[len(times) // 2]
+        out[name] = {
+            "median_sec": round(med, 4),
+            "rows_per_sec": round(timed_rows / med),
+            "times": [round(t, 4) for t in times],
+        }
     print("WORKER_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -127,11 +138,18 @@ def main() -> None:
     zip_path = build_zip()
     levels = {}
     for cores in LEVELS:
+        jar = os.path.join(REPO, "hllspark", "jars", "hllspark-jvm.jar")
+        jar_args = (
+            ["--jars", jar, "--driver-class-path", jar]
+            if os.path.exists(jar)
+            else []
+        )
         cmd = [
             f"{SPARK_HOME}/bin/spark-submit",
             "--master", MASTER,
             "--deploy-mode", "client",
             "--py-files", zip_path,
+            *jar_args,
             "--conf", f"spark.cores.max={cores}",
             "--conf", "spark.executor.cores=8",
             "--conf", "spark.executor.memory=16g",
@@ -164,6 +182,12 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "levels": levels,
     }
+    if "grouped_jvm" in levels[8] and "grouped_jvm" in levels[32]:
+        jn = levels[8]["grouped_jvm"]["rows_per_sec"]
+        j4n = levels[32]["grouped_jvm"]["rows_per_sec"]
+        report["tp_1_executor_jvm"] = jn
+        report["tp_4_executors_jvm"] = j4n
+        report["scaling_efficiency_jvm"] = round((j4n / jn) / 4, 3)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "CLUSTER.json"), "w") as fh:
         json.dump(report, fh, indent=2)
