@@ -18,6 +18,17 @@ Payloads:
                 numpy decode and let parquet/zstd page compression reclaim
                 them at rest; the *reported* HLL size metric stays 6m bits
                 to match HyperLogLog.hpp:32-34)
+    HLL sparse: (extra=1) u32 count then bit-packed ascending (j<<6 | r)
+                pairs, width p+6 — chosen automatically by encode_hll when
+                it is smaller than the dense payload.  This is the
+                small-n/large-m regime that dominates per-key sketches at
+                p>=16 (most groups touch a handful of registers): a p=18
+                sketch of 100 distinct values serializes in ~300 bytes
+                instead of 256 KiB, which is what bounds shuffle blobs and
+                checkpoint size for high-cardinality GROUP BYs at 10^12
+                rows.  The dense/sparse choice is a deterministic function
+                of the register state, so partition-invariance byte
+                identity is preserved.
     HLLL      : B u8, ns u32, bit-packed offsets (m*mBits bits), bit-packed
                 exceptions (ns * (p + 6) bits, key<<6|value, ascending key)
                 — the HyperLogLogLog layout (offset array + exception dict,
@@ -75,8 +86,20 @@ def _header(algo: int, p: int, extra: int = 0) -> bytes:
     return _HEADER.pack(MAGIC, VERSION, algo, p, extra)
 
 
+_HLL_SPARSE = 1  # header `extra` flag for the sparse HLL payload
+
+
 def encode_hll(M: np.ndarray) -> bytes:
     p = int(M.shape[0]).bit_length() - 1
+    nz = np.flatnonzero(M)
+    sparse_bytes = 4 + (nz.size * (p + 6) + 7) // 8
+    if sparse_bytes < M.shape[0]:
+        pairs = (nz.astype(np.uint64) << np.uint64(6)) | M[nz].astype(np.uint64)
+        return (
+            _header(ALGO_HLL, p, _HLL_SPARSE)
+            + struct.pack("<I", nz.size)
+            + pack_uints(pairs, p + 6)
+        )
     return _header(ALGO_HLL, p) + M.astype(np.uint8).tobytes()
 
 
@@ -130,6 +153,14 @@ def decode(buf: bytes) -> np.ndarray:
     m = 1 << p
     body = buf[_HEADER.size :]
     if algo == ALGO_HLL:
+        if extra == _HLL_SPARSE:
+            (nnz,) = struct.unpack_from("<I", body, 0)
+            pairs = unpack_uints(body[4:], nnz, p + 6)
+            regs = np.zeros(m, dtype=np.uint8)
+            regs[(pairs >> np.uint64(6)).astype(np.int64)] = (
+                pairs & np.uint64(63)
+            ).astype(np.uint8)
+            return regs
         return np.frombuffer(body, dtype=np.uint8, count=m).copy()
     if algo == ALGO_ZSTD:
         return np.frombuffer(
@@ -170,6 +201,9 @@ def bit_size(buf: bytes) -> int:
     magic, version, algo, p, extra = _HEADER.unpack_from(buf, 0)
     m = 1 << p
     if algo == ALGO_HLL:
+        if extra == _HLL_SPARSE:  # our extension: report actual stored bits
+            (nnz,) = struct.unpack_from("<I", buf, _HEADER.size)
+            return 32 + nnz * (p + 6)
         return 6 * m
     if algo == ALGO_ZSTD:
         return (len(buf) - _HEADER.size) * 8

@@ -13,6 +13,17 @@ per (partition, key), never raw rows):
         encode      = lambda state -> bytes,
         decode      = lambda bytes -> state,
     )
+
+Cardinality boundary (documented trade-off): the per-batch fold loops
+Python once per DISTINCT KEY PER BATCH (never per row — each kind's
+update is vectorized over the group's values).  That is negligible up to
+~10^3–10^4 keys per Arrow batch; for very high-cardinality group keys the
+per-group overhead dominates and the HLL family's dedicated paths
+(hllspark.agg impl='jvm'/'sql', which never touch Python at row or group
+scale) are the right tool — HLL is the only kind here with a meaningful
+ultra-high-key use (per-entity distinct counts).  The non-HLL kinds are
+summaries one typically keeps per coarse segment (type, day, language),
+where #keys is small by construction.
 """
 
 from __future__ import annotations

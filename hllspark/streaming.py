@@ -93,12 +93,22 @@ def sketch_stream(
     p: int = 14,
     algo: str = "hll",
     m_bits: int = 3,
+    idle_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key incremental sketch via applyInPandasWithState.
 
     State: one serialized register blob per key (6m bits HLL / compressed
     HLLL).  Each trigger emits (keys..., sketch binary, distinct_estimate
     double) for keys touched by the micro-batch (update mode).
+
+    ``idle_ttl_ms`` bounds TOTAL state for unbounded key domains: a key
+    whose state sees no update for the TTL is evicted (processing-time
+    timeout) — the standard trade for "distinct per session/entity"
+    streams where the active key set is bounded but the lifetime key set
+    is not.  An evicted key that reappears starts a fresh sketch, so
+    long-horizon totals should flow through snapshot_sink re-merge rather
+    than rely on eternal state.  Default None keeps state forever
+    (exact monoid semantics).
     """
     keys = list(keys or [])
     group_cols = keys if keys else [_GLOBAL_KEY]
@@ -119,6 +129,9 @@ def sketch_stream(
     state_schema = StructType([StructField("regs", BinaryType())])
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if idle_ttl_ms and state.hasTimedOut:
+            state.remove()  # evict idle key; emit nothing
+            return
         if state.exists:
             regs = _sketch.decode(bytes(state.get[0]))
         else:
@@ -132,6 +145,8 @@ def sketch_stream(
         # state carries the cheap dense form; the emitted column carries the
         # requested serialization (HLLL compression at the boundary, §7)
         state.update((bytearray(_sketch.encode_hll(regs)),))
+        if idle_ttl_ms:
+            state.setTimeoutDuration(idle_ttl_ms)
         blob = _sketch.encode(regs, algo, m_bits)
         row = {f.name: [v] for f, v in zip(key_fields, key)} if keys else {}
         row[_SKETCH_COL] = [blob]
@@ -143,7 +158,11 @@ def sketch_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

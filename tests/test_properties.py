@@ -184,3 +184,28 @@ def test_packed_vector_round_trip(width, values):
         pv.to_numpy(), np.array([v & mask for v in values], dtype=np.uint64)
     )
     assert pv.capacity >= len(values)
+
+
+@given(
+    p=st.integers(min_value=4, max_value=16),
+    n=st.integers(min_value=0, max_value=3000),
+)
+@settings(max_examples=30, deadline=None)
+def test_hll_sparse_dense_round_trip(p, n):
+    """encode_hll auto-selects sparse vs dense deterministically; decode is
+    transparent and exact either way, and the sparse form is strictly
+    smaller whenever it is chosen."""
+    rng = np.random.default_rng(p * 1000 + n)
+    M = hll.build_from_hashes(
+        rng.integers(0, 2**64, size=n, dtype=np.uint64), p
+    )
+    buf = sketch.encode_hll(M)
+    np.testing.assert_array_equal(sketch.decode(buf), M)
+    nnz = int(np.count_nonzero(M))
+    sparse_bytes = 4 + (nnz * (p + 6) + 7) // 8
+    if sparse_bytes < (1 << p):
+        assert len(buf) == 8 + sparse_bytes  # sparse chosen
+        assert sketch.bit_size(buf) == 32 + nnz * (p + 6)
+    else:
+        assert len(buf) == 8 + (1 << p)  # dense chosen
+        assert sketch.bit_size(buf) == 6 * (1 << p)

@@ -287,3 +287,30 @@ def test_generic_sketch_stream_kll_quantiles(spark, tmp_path):
     med = float(np.asarray(s.quantile([0.5]))[0])
     # user_id is uniform over [0, 1200): true median ~600
     assert abs(med - 600) / 600 < 0.1
+
+
+def test_sketch_stream_with_idle_ttl(spark, tmp_path):
+    """The TTL-bounded variant produces the same per-key results within a
+    single availableNow pass (no timeout can fire mid-pass); its state
+    registers a processing-time timeout so idle keys are evicted on later
+    triggers — the bounded-state mode for unbounded key domains."""
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, files=2)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    out = streaming.sketch_stream(
+        sdf, "user_id", ["grp"], p=10, idle_ttl_ms=60_000
+    )
+    rows = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            rows[r["grp"]] = bytes(r["sketch"])
+
+    _run_stream(out, sink, str(tmp_path / "ck_ttl"))
+    expected = {
+        r["grp"]: bytes(r["sketch"])
+        for r in agg.sketch_by(batch_df, "user_id", ["grp"], p=10).collect()
+    }
+    assert rows == expected
