@@ -27,7 +27,10 @@ from . import (
     hll,
     hlll,
     io,
+    jvmagg,
+    lshutil,
     multimodal,
+    packedvector,
     session,
     sketch,
     sketches,
@@ -43,7 +46,10 @@ __all__ = [
     "hll",
     "hlll",
     "io",
+    "jvmagg",
+    "lshutil",
     "multimodal",
+    "packedvector",
     "session",
     "sketch",
     "sketches",

@@ -14,11 +14,12 @@ FarmHash note: the reference builds farmhash WITHOUT ``NDEBUG`` (its Makefile
 defines no NDEBUG), so farmhash's ``DebugTweak`` post-mix
 (``~bswap64(h * k1)``) IS part of the observed behavior and of the golden
 vectors; we apply it by default.  The reference dispatch for x86-64+SSE4.2
-routes all lengths < 512 through the scalar ``farmhashxo`` path which we
-reproduce exactly; for len >= 512 the reference uses an SSE-specific routine
-(farmhashte::Hash64Long) — we instead use the portable ``farmhashuo`` path
-(what farmhash itself uses on non-SSE builds).  All reference experiments use
-8-byte strings, far below that boundary.
+(its Makefile compiles -march=native) routes lengths < 512 through the
+scalar ``farmhashxo`` path and lengths >= 512 through the SSE
+``farmhashte::Hash64Long`` state machine — BOTH reproduced exactly here
+(the te path as a numpy uint8[16]-register transcription of the public
+farmhash.cc), golden-verified against the reference's own vendored
+farmhash compiled with its own flags across lengths 0..10000.
 
 Everything here is pure numpy uint64 arithmetic over Arrow-backed buffers —
 no per-row Python in any hot path.  These functions run inside pandas UDFs /
@@ -375,6 +376,179 @@ def _len257plus(buf, st, ln, nblocks):
         )
 
 
+# ---------------------------------------------------------------------------
+# farmhashte::Hash64Long — the SSE path the reference's -march=native build
+# takes for len >= 512 (public google/farmhash farmhash.cc, farmhashte
+# namespace), re-expressed over numpy uint8[16] "registers".  Each __m128i
+# op maps to a dtype view: Add=_mm_add_epi64 -> two uint64 lanes,
+# Mul=_mm_mullo_epi32 -> four uint32 lanes, Shuf=_mm_shuffle_epi8 -> byte
+# gather.  Inherently sequential per string (a 12-register state machine
+# over 256-byte blocks), so this runs per string — acceptable: >=512-byte
+# keys are the rare tail, and parity beats throughput on a parity path.
+# Golden-tested against the reference's own -O3 -march=native farmhash
+# build across lengths 512..10000 (tests/test_hashing.py).
+# ---------------------------------------------------------------------------
+
+# _mm_set_epi8 takes bytes MSB-first; these are the little-endian layouts
+_TE_SHUF = np.array(
+    [1, 3, 7, 0, 13, 14, 2, 12, 9, 6, 15, 8, 5, 10, 11, 4], dtype=np.intp
+)
+_TE_MULT = np.array(
+    [0x51, 0x2D, 0x9E, 0xCC, 0xED, 0x33, 0x3E, 0x34,
+     0x03, 0xFA, 0x54, 0x45, 0x39, 0x33, 0xD6, 0xBD],
+    dtype=np.uint8,
+)
+
+
+def _te_add(x, y):
+    with np.errstate(over="ignore"):
+        return (x.view("<u8") + y.view("<u8")).view(np.uint8)
+
+
+def _te_mul(x, y):
+    with np.errstate(over="ignore"):
+        return (x.view("<u4") * y.view("<u4")).view(np.uint8)
+
+
+def _te_shuf(x):
+    return x[_TE_SHUF]
+
+
+def _te_cvt64(v):
+    out = np.zeros(16, dtype=np.uint8)
+    out[:8] = np.frombuffer(np.uint64(v & 0xFFFFFFFFFFFFFFFF).tobytes(), np.uint8)
+    return out
+
+
+def _te_set1_32(v):
+    return np.tile(
+        np.frombuffer(np.uint32(v & 0xFFFFFFFF).tobytes(), np.uint8), 4
+    ).copy()
+
+
+def _te_hash64_long(data: np.ndarray, seed0: int, seed1: int) -> int:
+    """farmhashte::Hash64Long over one byte string (len >= 256)."""
+    rot = lambda x, r: ((x >> r) | (x << (64 - r))) & 0xFFFFFFFFFFFFFFFF
+    n = len(data)
+    seed2 = ((seed0 + 113) * (seed1 + 9)) & 0xFFFFFFFFFFFFFFFF
+    seed3 = ((rot(seed0, 23) + 27) * (rot(seed1, 30) + 111)) & 0xFFFFFFFFFFFFFFFF
+    d0 = _te_cvt64(seed0)
+    d1 = _te_cvt64(seed1)
+    d2 = _te_shuf(d0)
+    d3 = _te_shuf(d1)
+    d4 = d0 ^ d1
+    d5 = d1 ^ d2
+    d6 = d2 ^ d4
+    d7 = _te_set1_32(seed2 >> 32)
+    d8 = _te_mul(_TE_MULT, d2)
+    d9 = _te_set1_32(seed3 >> 32)
+    d10 = _te_set1_32(seed3)
+    d11 = _te_add(d2, _te_set1_32(seed2))
+    pos, end = 0, n & ~255
+    while pos != end:
+        f = lambda off: data[pos + off : pos + off + 16]
+        z = f(0)
+        d0 = _te_add(d0, z); d1 = _te_shuf(d1); d2 = d2 ^ d0
+        d4 = d4 ^ z; d4 = d4 ^ d1
+        d0, d6 = d6, d0
+        z = f(16)
+        d5 = _te_add(d5, z); d6 = _te_shuf(d6); d8 = _te_shuf(d8)
+        d7 = d7 ^ d5; d0 = d0 ^ z; d0 = d0 ^ d6
+        d5, d11 = d11, d5
+        z = f(32)
+        d1 = _te_add(d1, z); d2 = _te_shuf(d2); d4 = _te_shuf(d4)
+        d5 = d5 ^ z; d5 = d5 ^ d2
+        d10, d4 = d4, d10
+        z = f(48)
+        d6 = _te_add(d6, z); d7 = _te_shuf(d7); d0 = _te_shuf(d0)
+        d8 = d8 ^ d6; d1 = d1 ^ z; d1 = _te_add(d1, d7)
+        z = f(64)
+        d2 = _te_add(d2, z); d5 = _te_shuf(d5); d4 = _te_add(d4, d2)
+        d6 = d6 ^ z; d6 = d6 ^ d11
+        d8, d2 = d2, d8
+        z = f(80)
+        d7 = d7 ^ z; d8 = _te_shuf(d8); d1 = _te_shuf(d1)
+        d0 = _te_add(d0, d7); d2 = _te_add(d2, z); d2 = _te_add(d2, d8)
+        d1, d7 = d7, d1
+        z = f(96)
+        d4 = _te_shuf(d4); d6 = _te_shuf(d6); d8 = _te_mul(_TE_MULT, d8)
+        d5 = d5 ^ d11; d7 = d7 ^ z; d7 = _te_add(d7, d4)
+        d6, d0 = d0, d6
+        z = f(112)
+        d8 = _te_add(d8, z); d0 = _te_shuf(d0); d2 = _te_shuf(d2)
+        d1 = d1 ^ d8; d10 = d10 ^ z; d10 = d10 ^ d0
+        d11, d5 = d5, d11
+        z = f(128)
+        d4 = _te_add(d4, z); d5 = _te_shuf(d5); d7 = _te_shuf(d7)
+        d6 = _te_add(d6, d4); d8 = d8 ^ z; d8 = d8 ^ d5
+        d4, d10 = d10, d4
+        z = f(144)
+        d0 = _te_add(d0, z); d1 = _te_shuf(d1); d2 = _te_add(d2, d0)
+        d4 = d4 ^ z; d4 = d4 ^ d1
+        z = f(160)
+        d5 = _te_add(d5, z); d6 = _te_shuf(d6); d8 = _te_shuf(d8)
+        d7 = d7 ^ d5; d0 = d0 ^ z; d0 = d0 ^ d6
+        d2, d8 = d8, d2
+        z = f(176)
+        d1 = _te_add(d1, z); d2 = _te_shuf(d2); d4 = _te_shuf(d4)
+        d5 = _te_mul(_TE_MULT, d5); d5 = d5 ^ z; d5 = d5 ^ d2
+        d7, d1 = d1, d7
+        z = f(192)
+        d6 = _te_add(d6, z); d7 = _te_shuf(d7); d0 = _te_shuf(d0)
+        d8 = _te_add(d8, d6); d1 = d1 ^ z; d1 = d1 ^ d7
+        d0, d6 = d6, d0
+        z = f(208)
+        d2 = _te_add(d2, z); d5 = _te_shuf(d5); d4 = d4 ^ d2
+        d6 = d6 ^ z; d6 = d6 ^ d9
+        d5, d11 = d11, d5
+        z = f(224)
+        d7 = _te_add(d7, z); d8 = _te_shuf(d8); d1 = _te_shuf(d1)
+        d0 = d0 ^ d7; d2 = d2 ^ z; d2 = d2 ^ d8
+        d10, d4 = d4, d10
+        z = f(240)
+        d3 = _te_add(d3, z); d4 = _te_shuf(d4); d6 = _te_shuf(d6)
+        d7 = _te_mul(_TE_MULT, d7); d5 = _te_add(d5, d3)
+        d7 = d7 ^ z; d7 = d7 ^ d4
+        d3, d9 = d9, d3
+        pos += 256
+    d6 = _te_add(_te_mul(_TE_MULT, d6), _te_cvt64(n))
+    if n % 256 != 0:
+        # _mm_shuffle_epi32(d8, 0b00111001): 32-bit lanes [1, 2, 3, 0]
+        rot32 = d8.reshape(4, 4)[[1, 2, 3, 0]].reshape(16)
+        d7 = _te_add(rot32, d7)
+        tail = farmhash64(
+            [data[end:].tobytes()], debug_tweak=False
+        )[0]  # farmhashxo::Hash64 of the residue (< 256 bytes)
+        d8 = _te_add(_te_mul(_TE_MULT, d8), _te_cvt64(int(tail)))
+    mulshufmul = lambda d: _te_mul(
+        _TE_MULT, _te_shuf(_te_mul(_TE_MULT, d))
+    )
+    d0 = mulshufmul(d0)
+    d3 = mulshufmul(d3)
+    d9 = mulshufmul(d9)
+    d1 = mulshufmul(d1)
+    d0 = _te_add(d11, d0)
+    d3 = d7 ^ d3
+    d9 = _te_add(d8, d9)
+    d1 = _te_add(d10, d1)
+    d4 = _te_add(d3, d4)
+    d5 = _te_add(d9, d5)
+    d6 = d1 ^ d6
+    d2 = _te_add(d0, d2)
+    t = np.concatenate([d0, d3, d9, d1, d4, d5, d6, d2])
+    return int(farmhash64([t.tobytes()], debug_tweak=False)[0])
+
+
+def _len512plus_te(buf, st, ln):
+    """Dispatch rows of len >= 512 through the te state machine
+    (farmhashte::Hash64(s, len) = Hash64Long(s, len, k2, k1))."""
+    out = np.empty(ln.shape[0], dtype=U64)
+    for i in range(ln.shape[0]):
+        s, e = int(st[i]), int(st[i] + ln[i])
+        out[i] = _te_hash64_long(buf[s:e], int(K2), int(K1))
+    return out
+
+
 def _debug_tweak(h: np.ndarray) -> np.ndarray:
     """farmhash DebugTweak for 64-bit: ~bswap64(x * k1) — active in the
     reference's builds (no NDEBUG in its Makefile), hence in its goldens."""
@@ -432,12 +606,15 @@ def farmhash64(strings, debug_tweak: bool = True) -> np.ndarray:
     fill((ln >= 65) & (ln <= 96), _len65to96)
     # looped paths: group rows by block count so each group runs an exact
     # fixed-trip vectorized loop (no masking overhead)
-    for lo, hi, fn in ((97, 256, _len97to256), (257, None, _len257plus)):
-        mask = (ln >= lo) if hi is None else ((ln >= lo) & (ln <= hi))
+    for lo, hi, fn in ((97, 256, _len97to256), (257, 511, _len257plus)):
+        mask = (ln >= lo) & (ln <= hi)
         if mask.any():
             nb = (ln - 1) // 64  # number of full 64-byte blocks before last64
             for blocks in np.unique(nb[mask]):
                 fill(mask & (nb == blocks), fn, int(blocks))
+    # len >= 512: the reference's -march=native build dispatches to the SSE
+    # farmhashte::Hash64Long — exact parity via the per-string state machine
+    fill(ln >= 512, _len512plus_te)
     if debug_tweak:
         out = _debug_tweak(out)
     return out
