@@ -133,3 +133,66 @@ class PackedVector:
         for v in np.asarray(values, dtype=np.uint64):
             pv.append(int(v))
         return pv
+
+
+class PackedMap:
+    """Sorted bit-packed key/value map — the reference's PackedMap
+    (PackedMap.hpp:39-117): two parallel PackedVectors (keys ascending,
+    values aligned), O(log n) membership via binary search over the packed
+    keys, O(n) upsert/erase via the vectors' tail shift.  This is the
+    exception dictionary of the HyperLogLogLog sketch; the engine keeps
+    exceptions as numpy arrays in flight (hllspark.sketch serializes the
+    same sorted layout), so like PackedVector this class exists for full
+    storage-primitive parity, mirrored by the reference's randomized
+    std::map-equivalence test (test.cpp:322-423)."""
+
+    def __init__(self, key_width: int, value_width: int):
+        self._keys = PackedVector(key_width)
+        self._vals = PackedVector(value_width)
+
+    def __len__(self) -> int:
+        return len(self._keys)
+
+    def _lower_bound(self, key: int) -> int:
+        lo, hi = 0, len(self._keys)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._keys.get(mid) < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def __contains__(self, key: int) -> bool:
+        i = self._lower_bound(key)
+        return i < len(self._keys) and self._keys.get(i) == key
+
+    def get(self, key: int, default=None):
+        i = self._lower_bound(key)
+        if i < len(self._keys) and self._keys.get(i) == key:
+            return self._vals.get(i)
+        return default
+
+    def set(self, key: int, value: int) -> None:
+        """Upsert preserving ascending key order (the sortedness invariant
+        the reference asserts after every mutation, test.cpp:420-422)."""
+        i = self._lower_bound(key)
+        if i < len(self._keys) and self._keys.get(i) == key:
+            self._vals.set(i, value)
+            return
+        self._keys.insert(i, key)
+        self._vals.insert(i, value)
+
+    def erase(self, key: int) -> bool:
+        i = self._lower_bound(key)
+        if i < len(self._keys) and self._keys.get(i) == key:
+            self._keys.erase(i)
+            self._vals.erase(i)
+            return True
+        return False
+
+    def keys(self) -> np.ndarray:
+        return self._keys.to_numpy()
+
+    def values(self) -> np.ndarray:
+        return self._vals.to_numpy()

@@ -209,3 +209,42 @@ def test_hll_sparse_dense_round_trip(p, n):
     else:
         assert len(buf) == 8 + (1 << p)  # dense chosen
         assert sketch.bit_size(buf) == 6 * (1 << p)
+
+
+@given(
+    kw=st.integers(min_value=4, max_value=20),
+    vw=st.integers(min_value=1, max_value=8),
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["set", "erase", "get"]),
+            st.integers(min_value=0, max_value=300),
+            st.integers(min_value=0, max_value=1 << 8),
+        ),
+        max_size=80,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_packed_map_matches_dict_model(kw, vw, ops):
+    """Randomized upsert/erase/get equivalence against a plain dict with
+    the sortedness invariant asserted after every mutation — the mirror of
+    the reference's std::map-equivalence PackedMap test (test.cpp:322-423,
+    sortedness test.cpp:420-422)."""
+    from hllspark.packedvector import PackedMap
+
+    pm = PackedMap(kw, vw)
+    model = {}
+    kmask, vmask = (1 << kw) - 1, (1 << vw) - 1
+    for op, key, value in ops:
+        key &= kmask
+        if op == "set":
+            pm.set(key, value)
+            model[key] = value & vmask
+        elif op == "erase":
+            assert pm.erase(key) == (key in model)
+            model.pop(key, None)
+        else:
+            assert pm.get(key) == model.get(key)
+            assert (key in pm) == (key in model)
+        ks = pm.keys()
+        assert list(ks) == sorted(model)  # sorted, no dups
+    assert {int(k): int(v) for k, v in zip(pm.keys(), pm.values())} == model
