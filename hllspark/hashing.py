@@ -402,51 +402,59 @@ _TE_MULT = np.array(
 
 def _te_add(x, y):
     with np.errstate(over="ignore"):
-        return (x.view("<u8") + y.view("<u8")).view(np.uint8)
+        return (
+            np.ascontiguousarray(x).view("<u8")
+            + np.ascontiguousarray(y).view("<u8")
+        ).view(np.uint8)
 
 
 def _te_mul(x, y):
     with np.errstate(over="ignore"):
-        return (x.view("<u4") * y.view("<u4")).view(np.uint8)
+        return (
+            np.ascontiguousarray(x).view("<u4")
+            * np.ascontiguousarray(y).view("<u4")
+        ).view(np.uint8)
 
 
 def _te_shuf(x):
-    return x[_TE_SHUF]
+    return x[..., _TE_SHUF]
 
 
-def _te_cvt64(v):
-    out = np.zeros(16, dtype=np.uint8)
-    out[:8] = np.frombuffer(np.uint64(v & 0xFFFFFFFFFFFFFFFF).tobytes(), np.uint8)
+def _te_cvt64_rows(vals, k):
+    out = np.zeros((k, 16), dtype=np.uint8)
+    out.view("<u8")[:, 0] = np.asarray(vals, dtype=np.uint64)
     return out
 
 
-def _te_set1_32(v):
-    return np.tile(
-        np.frombuffer(np.uint32(v & 0xFFFFFFFF).tobytes(), np.uint8), 4
-    ).copy()
+def _te_set1_32_rows(v, k):
+    row = np.tile(np.frombuffer(np.uint32(v & 0xFFFFFFFF).tobytes(), np.uint8), 4)
+    return np.broadcast_to(row, (k, 16)).copy()
 
 
-def _te_hash64_long(data: np.ndarray, seed0: int, seed1: int) -> int:
-    """farmhashte::Hash64Long over one byte string (len >= 256)."""
+def _te_hash64_long_batch(buf, st, ln, nblocks, seed0: int, seed1: int):
+    """farmhashte::Hash64Long vectorized over k same-block-count strings:
+    each __m128i register becomes a (k, 16) uint8 matrix and every step of
+    the 256-byte-block state machine runs for all strings at once."""
     rot = lambda x, r: ((x >> r) | (x << (64 - r))) & 0xFFFFFFFFFFFFFFFF
-    n = len(data)
+    k = st.shape[0]
+    idx16 = np.arange(16)
     seed2 = ((seed0 + 113) * (seed1 + 9)) & 0xFFFFFFFFFFFFFFFF
     seed3 = ((rot(seed0, 23) + 27) * (rot(seed1, 30) + 111)) & 0xFFFFFFFFFFFFFFFF
-    d0 = _te_cvt64(seed0)
-    d1 = _te_cvt64(seed1)
+    d0 = _te_cvt64_rows(np.full(k, seed0, np.uint64), k)
+    d1 = _te_cvt64_rows(np.full(k, seed1, np.uint64), k)
     d2 = _te_shuf(d0)
     d3 = _te_shuf(d1)
     d4 = d0 ^ d1
     d5 = d1 ^ d2
     d6 = d2 ^ d4
-    d7 = _te_set1_32(seed2 >> 32)
+    d7 = _te_set1_32_rows(seed2 >> 32, k)
     d8 = _te_mul(_TE_MULT, d2)
-    d9 = _te_set1_32(seed3 >> 32)
-    d10 = _te_set1_32(seed3)
-    d11 = _te_add(d2, _te_set1_32(seed2))
-    pos, end = 0, n & ~255
-    while pos != end:
-        f = lambda off: data[pos + off : pos + off + 16]
+    d9 = _te_set1_32_rows(seed3 >> 32, k)
+    d10 = _te_set1_32_rows(seed3, k)
+    d11 = _te_add(d2, _te_set1_32_rows(seed2, k))
+    for blk in range(nblocks):
+        base = st + blk * 256
+        f = lambda off: buf[(base + off)[:, None] + idx16]
         z = f(0)
         d0 = _te_add(d0, z); d1 = _te_shuf(d1); d2 = d2 ^ d0
         d4 = d4 ^ z; d4 = d4 ^ d1
@@ -510,16 +518,28 @@ def _te_hash64_long(data: np.ndarray, seed0: int, seed1: int) -> int:
         d7 = _te_mul(_TE_MULT, d7); d5 = _te_add(d5, d3)
         d7 = d7 ^ z; d7 = d7 ^ d4
         d3, d9 = d9, d3
-        pos += 256
-    d6 = _te_add(_te_mul(_TE_MULT, d6), _te_cvt64(n))
-    if n % 256 != 0:
+    d6 = _te_add(
+        _te_mul(_TE_MULT, d6), _te_cvt64_rows(ln.astype(np.uint64), k)
+    )
+    rem_mask = (ln % 256) != 0
+    if rem_mask.any():
+        ridx = np.nonzero(rem_mask)[0]
         # _mm_shuffle_epi32(d8, 0b00111001): 32-bit lanes [1, 2, 3, 0]
-        rot32 = d8.reshape(4, 4)[[1, 2, 3, 0]].reshape(16)
-        d7 = _te_add(rot32, d7)
-        tail = farmhash64(
-            [data[end:].tobytes()], debug_tweak=False
-        )[0]  # farmhashxo::Hash64 of the residue (< 256 bytes)
-        d8 = _te_add(_te_mul(_TE_MULT, d8), _te_cvt64(int(tail)))
+        rot32 = d8[ridx].reshape(-1, 4, 4)[:, [1, 2, 3, 0]].reshape(-1, 16)
+        d7[ridx] = _te_add(rot32, d7[ridx])
+        # farmhashxo::Hash64 of each residue (< 256 bytes): recursion into
+        # the vectorized short-string paths
+        tails = np.array(
+            [
+                buf[int(st[i] + nblocks * 256) : int(st[i] + ln[i])].tobytes()
+                for i in ridx
+            ],
+            dtype=object,
+        )
+        th = farmhash64(tails, debug_tweak=False)
+        d8[ridx] = _te_add(
+            _te_mul(_TE_MULT, d8[ridx]), _te_cvt64_rows(th, ridx.size)
+        )
     mulshufmul = lambda d: _te_mul(
         _TE_MULT, _te_shuf(_te_mul(_TE_MULT, d))
     )
@@ -535,18 +555,15 @@ def _te_hash64_long(data: np.ndarray, seed0: int, seed1: int) -> int:
     d5 = _te_add(d9, d5)
     d6 = d1 ^ d6
     d2 = _te_add(d0, d2)
-    t = np.concatenate([d0, d3, d9, d1, d4, d5, d6, d2])
-    return int(farmhash64([t.tobytes()], debug_tweak=False)[0])
+    t = np.concatenate([d0, d3, d9, d1, d4, d5, d6, d2], axis=1)  # (k, 128)
+    blobs = np.array([row.tobytes() for row in t], dtype=object)
+    return farmhash64(blobs, debug_tweak=False)
 
 
-def _len512plus_te(buf, st, ln):
-    """Dispatch rows of len >= 512 through the te state machine
-    (farmhashte::Hash64(s, len) = Hash64Long(s, len, k2, k1))."""
-    out = np.empty(ln.shape[0], dtype=U64)
-    for i in range(ln.shape[0]):
-        s, e = int(st[i]), int(st[i] + ln[i])
-        out[i] = _te_hash64_long(buf[s:e], int(K2), int(K1))
-    return out
+def _len512plus_te(buf, st, ln, nblocks):
+    """Rows of len >= 512 through the te state machine, batched per block
+    count (farmhashte::Hash64(s, len) = Hash64Long(s, len, k2, k1))."""
+    return _te_hash64_long_batch(buf, st, ln, nblocks, int(K2), int(K1))
 
 
 def _debug_tweak(h: np.ndarray) -> np.ndarray:
@@ -613,8 +630,13 @@ def farmhash64(strings, debug_tweak: bool = True) -> np.ndarray:
             for blocks in np.unique(nb[mask]):
                 fill(mask & (nb == blocks), fn, int(blocks))
     # len >= 512: the reference's -march=native build dispatches to the SSE
-    # farmhashte::Hash64Long — exact parity via the per-string state machine
-    fill(ln >= 512, _len512plus_te)
+    # farmhashte::Hash64Long — exact parity via the batched state machine,
+    # grouped by 256-byte block count like the other looped paths
+    te_mask = ln >= 512
+    if te_mask.any():
+        nb256 = ln // 256
+        for blocks in np.unique(nb256[te_mask]):
+            fill(te_mask & (nb256 == blocks), _len512plus_te, int(blocks))
     if debug_tweak:
         out = _debug_tweak(out)
     return out
