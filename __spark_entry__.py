@@ -296,18 +296,8 @@ def _q_minhash_lsh_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     the exhaustive join row for row."""
     from hllspark import dedup
 
-    docs = (
-        _t(spark, sf, "documents")
-        .where(F.col("doc_id") < 300)
-        .select("doc_id", "text")
-    )
-    twins = docs.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zqx zqx zqx")).alias("text"),
-    )
-    aug = docs.unionByName(twins)
     return (
-        dedup.minhash_near_duplicates(aug, threshold=0.8)
+        dedup.minhash_near_duplicates(_aug_docs(spark, sf), threshold=0.8)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

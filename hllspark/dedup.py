@@ -304,8 +304,10 @@ def connected_components(
     chain graphs want the large-star/small-star variant; out of scope
     until a real corpus needs it).
     """
+    # keep the ids' native type: every other dedup operator supports
+    # string/long ids alike, and min-label propagation only needs ordering
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -32,8 +32,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, SparkSession
 
 _AGG_CLASS = "hllspark.HllRegAggregator"
+# availability is a CLASSPATH property — JVM-wide, so per-application
+# caching is correct.  Registration is per-SparkSession (newSession() has
+# an isolated function registry), so it is NOT cached: re-registering is a
+# handful of py4j calls and always lands in the caller's registry.
 _availability: dict[str, bool] = {}
-_registered: set[tuple[str, int]] = set()
 
 
 def jar_path() -> str:
@@ -63,9 +66,6 @@ def _register(spark: SparkSession, p: int, flavor: str) -> str:
     for sketch_by / checkpointing) or 'est' (double estimate out — the
     single-stage pure-JVM approx_distinct plan)."""
     name = f"hllspark_{flavor}_p{p}"
-    key = (_session_key(spark), p, flavor)
-    if key in _registered:
-        return name
     if not is_available(spark):
         raise RuntimeError(
             "hllspark JVM fast path unavailable: put "
@@ -82,7 +82,6 @@ def _register(spark: SparkSession, p: int, flavor: str) -> str:
         agg_obj, jvm.org.apache.spark.sql.Encoders.LONG()
     )
     spark._jsparkSession.udf().register(name, udaf)
-    _registered.add(key)
     return name
 
 

@@ -373,12 +373,19 @@ def ivf_top_k_indexed(
 
     with open(os.path.join(index_path, "_ivf_centroids.json")) as fh:
         C = np.asarray(json.load(fh), dtype=np.float64)
+    from pyspark import StorageLevel
+
     probe_cells = _assign_cells_udf(C, nprobe)
     q = queries.select(
         query_id_col,
         query_vec_col,
         F.explode(probe_cells(F.col(query_vec_col))).alias("__cell"),
     )
+    # persist: the cell-list collect below and the broadcast join would
+    # otherwise each run the centroid-assignment UDF over the full queries
+    # lineage (caller owns cache lifetime, cf. estimate_grouping_sets)
+    if q.storageLevel == StorageLevel.NONE:
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
     cells = sorted(r[0] for r in q.select("__cell").distinct().collect())
     corpus = spark.read.parquet(index_path).where(F.col("__cell").isin(cells))
     cand = corpus.join(F.broadcast(q), "__cell").select(

@@ -52,7 +52,11 @@ import pyarrow as pa
 from . import hlll as _hlll
 
 MAGIC = b"HLSK"
-VERSION = 1
+# v2 adds the sparse HLL payload (header extra=1); v1 blobs decode
+# unchanged, and v1 readers reject v2 blobs with a clear version error
+# instead of misparsing a short sparse body
+VERSION = 2
+_READABLE_VERSIONS = (1, 2)
 ALGO_HLL = 1
 ALGO_HLLL = 2
 ALGO_ZSTD = 3
@@ -148,7 +152,7 @@ def convert(buf: bytes, algo: str, m_bits: int = 3) -> bytes:
 def decode(buf: bytes) -> np.ndarray:
     """Decode any sketch format back to uint8[m] registers."""
     magic, version, algo, p, extra = _HEADER.unpack_from(buf, 0)
-    if magic != MAGIC or version != VERSION:
+    if magic != MAGIC or version not in _READABLE_VERSIONS:
         raise ValueError("bad sketch header")
     m = 1 << p
     body = buf[_HEADER.size :]
@@ -201,9 +205,11 @@ def bit_size(buf: bytes) -> int:
     magic, version, algo, p, extra = _HEADER.unpack_from(buf, 0)
     m = 1 << p
     if algo == ALGO_HLL:
-        if extra == _HLL_SPARSE:  # our extension: report actual stored bits
-            (nnz,) = struct.unpack_from("<I", buf, _HEADER.size)
-            return 32 + nnz * (p + 6)
+        # ALWAYS 6m for HLL, dense or sparse payload: this is the
+        # reference's size metric for the decoded sketch (HyperLogLog.hpp:
+        # 32-34) and the measure-CLI protocol reports it as such; the
+        # sparse form is a WIRE optimization whose actual footprint is
+        # visible via decode_info()['bytes']
         return 6 * m
     if algo == ALGO_ZSTD:
         return (len(buf) - _HEADER.size) * 8

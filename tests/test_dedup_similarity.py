@@ -420,3 +420,16 @@ def test_deduplicate_near_keeps_representatives(spark, docs):
         assert i + 100000 not in kept
         assert i + 200000 not in kept
     assert out.columns == docs.columns
+
+
+def test_connected_components_string_ids(spark):
+    """Pair ids keep their native type: string-keyed corpora (url ids)
+    cluster exactly like numeric ones (min-label = lexicographic min)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

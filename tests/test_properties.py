@@ -205,10 +205,11 @@ def test_hll_sparse_dense_round_trip(p, n):
     sparse_bytes = 4 + (nnz * (p + 6) + 7) // 8
     if sparse_bytes < (1 << p):
         assert len(buf) == 8 + sparse_bytes  # sparse chosen
-        assert sketch.bit_size(buf) == 32 + nnz * (p + 6)
     else:
         assert len(buf) == 8 + (1 << p)  # dense chosen
-        assert sketch.bit_size(buf) == 6 * (1 << p)
+    # the REPORTED metric is the reference's 6m regardless of payload
+    # (HyperLogLog.hpp:32-34 protocol); the wire win shows in len(buf)
+    assert sketch.bit_size(buf) == 6 * (1 << p)
 
 
 @given(
