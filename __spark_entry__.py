@@ -612,6 +612,41 @@ def _q_misra_gries_exact_when_k_covers(spark: SparkSession, sf: str) -> DataFram
     return spark.createDataFrame(rows, "item string, cnt long").orderBy("item")
 
 
+def _q_mg_grouped_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED Misra-Gries heavy hitters (one summary per day, merged
+    distributed): with k >= #distinct items per group the counters are
+    provably exact, so every (day, item, count) row must value-match the
+    exact GROUP BY — the grouped companion of
+    misra_gries_exact_when_k_covers.  Decode/expansion runs distributed
+    via applyInPandas over the per-day sketch rows."""
+    import pandas as pd_  # local alias; module-level pd used by hints
+
+    from hllspark.sketches import generic, misragries as mg
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    sk = generic.sketch_agg(ev, "event_type", mg.kind(64), keys=["day"])
+
+    def expand(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        st = mg.decode(bytes(pdf["sketch"].iloc[0]))
+        items = sorted(st["counts"].items())
+        return pd_.DataFrame(
+            {
+                "day": [pdf["day"].iloc[0]] * len(items),
+                "item": [k for k, _ in items],
+                "cnt": [v for _, v in items],
+            }
+        )
+
+    return (
+        sk.groupBy("day")
+        .applyInPandas(expand, "day date, item string, cnt long")
+        # ISO string day: date-typed columns encode differently across
+        # Spark/DuckDB/Arrow (date32 vs datetime64) and break value hashes
+        .select(F.col("day").cast("string").alias("day"), "item", "cnt")
+        .orderBy("day", "item")
+    )
+
+
 def _q_media_header_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Real byte-level media parsing end-to-end: synthesize 300 rows with
     genuine PNG/JPEG/WAV headers, sniff + parse them back, and aggregate —
@@ -1018,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
+        "mg_grouped_exact": _q_mg_grouped_exact,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
         "approx_quantiles_by_type": _q_approx_quantiles_by_type,
         "multi_distinct_within_bound": _q_multi_distinct_within_bound,
@@ -1163,6 +1199,11 @@ def oracle_sql() -> dict[str, str]:
         "misra_gries_exact_when_k_covers": (
             "SELECT event_type AS item, count(*) AS cnt FROM events "
             "WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "mg_grouped_exact": (
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+            "event_type AS item, count(*) AS cnt FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "multi_distinct_within_bound": (
             "SELECT event_type, 1 AS users_ok, 1 AS props_ok FROM events "
