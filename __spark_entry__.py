@@ -777,6 +777,34 @@ def _q_sketch_rollup_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("grouping_set_id", "event_type")
 
 
+def _q_rollup_fused_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Fused one-scan ROLLUP (native GROUPING SETS Expand + JVM register
+    aggregate, zero Python in the plan — hllspark.agg.approx_distinct_rollup):
+    every grain's estimate within the 3-sigma bound of the exact count."""
+    ev = _t(spark, sf, "events")
+    roll = agg.approx_distinct_rollup(ev, "user_id", ["event_type"], p=_P)
+    exact_g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact")).withColumn(
+        "event_type", F.lit(None).cast("string")
+    )
+    exact = exact_g.unionByName(exact_all)
+    j = roll.alias("r").join(
+        exact.alias("e"), F.expr("r.event_type <=> e.event_type")
+    )
+    return j.select(
+        F.col("r.grouping_set_id").alias("grouping_set_id"),
+        F.col("r.event_type").alias("event_type"),
+        (
+            (F.abs(F.col("r.distinct_estimate") - F.col("e.exact")) / F.col("e.exact"))
+            <= F.lit(_BOUND)
+        )
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("grouping_set_id", "event_type")
+
+
 def _q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN recall vs brute-force top-5 (deterministic seeded
     hyperplanes); the scale path must recover most true neighbors."""
@@ -1049,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_top3": _q_ann_ivf_top3,
         "ann_ivf_indexed_top3": _q_ann_ivf_indexed_top3,
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
+        "rollup_fused_within_bound": _q_rollup_fused_within_bound,
         "hllzstd_within_bound": _q_hllzstd_within_bound,
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
@@ -1181,6 +1210,12 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY rank <= 3 ORDER BY query_id, rank"
         ),
         "sketch_rollup_within_bound": (
+            "SELECT 0 AS grouping_set_id, event_type, 1 AS within_bound "
+            "FROM events GROUP BY event_type "
+            "UNION ALL SELECT 1, CAST(NULL AS VARCHAR), 1 "
+            "ORDER BY grouping_set_id, event_type"
+        ),
+        "rollup_fused_within_bound": (
             "SELECT 0 AS grouping_set_id, event_type, 1 AS within_bound "
             "FROM events GROUP BY event_type "
             "UNION ALL SELECT 1, CAST(NULL AS VARCHAR), 1 "

@@ -143,14 +143,15 @@ def main() -> None:
         ).collect(),
         # operator-breadth queries: multi-grain sketch re-aggregation and
         # text near-dup dedup (training-pipeline ops, graded alongside §2)
-        "q7_events_rollup_3grains": lambda: agg.sketch_rollup(
-            agg.sketch_by(
-                events.withColumn("day", F.to_date("ts")),
-                "user_id",
-                ["event_type", "day"],
-                p=12,
-            ),
+        # fused build+rollup: native GROUPING SETS Expand + one JVM register
+        # aggregate — one base scan, zero Python (round 3; the round-2
+        # sketch_by->sketch_rollup formulation paid 3 python merge stages and
+        # its r1 number was a plan-cache artifact, see PLANS.md)
+        "q7_events_rollup_3grains": lambda: agg.approx_distinct_rollup(
+            events.withColumn("day", F.to_date("ts")),
+            "user_id",
             ["event_type", "day"],
+            p=12,
         ).collect(),
         "q8_minhash_neardup_docs": lambda: dedup.minhash_near_duplicates(
             documents, threshold=0.7

@@ -575,17 +575,20 @@ def estimate_grouping_sets(
     Output: union of all grains; keys absent from a grain are NULL;
     ``grouping_set_id`` is the index into ``sets``.
 
-    The fine sketch table is persisted (it is tiny by design — one row per
-    fine key combination) so the grain branches share one InMemoryRelation
-    instead of each re-deriving it from the base scan (verified: without
-    this the union plan contains one full base-table scan PER grain).
+    Physical plan (round 3 — replaces the one-job-per-grain union that cost
+    3x the Python aggregate overhead): Catalyst's own ROLLUP strategy,
+    Expand + single aggregate.  Each fine row is projected once per grain
+    with the grain's absent keys masked to NULL, then ONE grouped merge over
+    (grouping_set_id, keys...) and ONE estimate pass run for every grain
+    together — one shuffle, one GROUPED_AGG python stage, one job, however
+    many grains are asked for.  Row amplification is len(sets) x the FINE
+    table (one row per fine key combo — tiny by design), never the base data.
 
-    Cache lifetime: the persist is lazy and the CALLER owns it — the
-    returned plan references the cached relation, so this function cannot
-    unpersist before the caller materializes the result.  Long-lived
-    sessions issuing many rollup calls should pass an already-persisted
-    ``df`` (the persist here is skipped when one exists) and unpersist it
-    when done, or call ``spark.catalog.clearCache()`` between batches.
+    The fine sketch table is persisted (lazy; skipped when the caller
+    already persisted it) so the per-grain projections share one
+    InMemoryRelation instead of each re-deriving it from the base scan.
+    Cache lifetime: the CALLER owns it — unpersist after materializing, or
+    call ``spark.catalog.clearCache()`` between batches.
     """
     from pyspark import StorageLevel
 
@@ -596,28 +599,32 @@ def estimate_grouping_sets(
         for k in s:
             if k not in all_keys:
                 all_keys.append(k)
+    dtypes = dict(df.dtypes)
+    merge = merge_udaf(algo, m_bits)
     parts = []
     for gid, s in enumerate(sets):
-        merged = with_estimate(
-            merge_sketches(df, list(s), sketch_col, algo, m_bits),
-            sketch_col,
-            estimate_col,
-        )
         cols = [
-            (F.col(k) if k in s else F.lit(None)).cast(
-                dict(df.dtypes).get(k, "string")
-            ).alias(k)
+            (F.col(k) if k in s else F.lit(None))
+            .cast(dtypes.get(k, "string"))
+            .alias(k)
             for k in all_keys
         ]
         parts.append(
-            merged.select(
-                F.lit(gid).alias("grouping_set_id"), *cols, F.col(estimate_col)
+            df.select(
+                F.lit(gid).alias("grouping_set_id"), *cols, F.col(sketch_col)
             )
         )
-    out = parts[0]
+    expanded = parts[0]
     for p_ in parts[1:]:
-        out = out.unionByName(p_)
-    return out
+        expanded = expanded.unionByName(p_)
+    merged = expanded.groupBy("grouping_set_id", *all_keys).agg(
+        merge(F.col(sketch_col)).alias(sketch_col)
+    )
+    return merged.select(
+        "grouping_set_id",
+        *all_keys,
+        estimate_udf(F.col(sketch_col)).alias(estimate_col),
+    )
 
 
 def sketch_rollup(
@@ -631,6 +638,98 @@ def sketch_rollup(
     """ROLLUP(k1, k2, ...) over sketch rows: (k1..kn), (k1..kn-1), ..., ()."""
     sets = [list(keys)[:i] for i in range(len(keys), -1, -1)]
     return estimate_grouping_sets(df, sets, sketch_col, algo, m_bits, estimate_col)
+
+
+def approx_distinct_grouping_sets(
+    df: DataFrame,
+    value_col: str,
+    sets: Sequence[Sequence[str]],
+    p: int = 14,
+    hash_mode: str = "xxhash64",
+    impl: str | None = None,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Distinct-count estimates for SEVERAL grouping sets in ONE base scan —
+    the fused build+rollup query (same output schema as
+    ``estimate_grouping_sets`` over a ``sketch_by`` table, for callers who
+    want the estimates rather than the sketch rows themselves).
+
+    impl='jvm' (default when the jar is available) runs with ZERO Python in
+    the plan and exactly ONE base scan: Catalyst's native GROUPING SETS
+    (Expand operator feeding a single partial+final ObjectHashAggregate of
+    HllEstimateAggregator buffers).  The Expand amplifies rows #grains x
+    BEFORE the partial aggregate, but the partial aggregate absorbs it
+    map-side — the shuffle still carries at most (#grains x #fine-groups)
+    m-byte buffers per map task, the same bounded shape as every other
+    build here (reference merge/estimate: HyperLogLog.hpp:124-131/95-113).
+    grouping_id() (NULL-mask bitmap over the grouping columns) is mapped
+    back to the positional ``grouping_set_id`` so the output schema matches
+    ``estimate_grouping_sets``, and genuine NULL key values cannot be
+    confused with grain masking.  Other impls fall back to sketch_by +
+    estimate_grouping_sets (one pandas merge stage, any algo); duplicate
+    grouping sets also take that path (native GROUPING SETS computes a
+    duplicated grain once)."""
+    sets = [list(s) for s in sets]
+    keys_union: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in keys_union:
+                keys_union.append(k)
+    impl = _resolve_impl(df, hash_mode, impl)
+    masks = []
+    n = len(keys_union)
+    for s in sets:
+        mask = 0
+        for i, k in enumerate(keys_union):
+            if k not in s:
+                mask |= 1 << (n - 1 - i)
+        masks.append(mask)
+    if impl != "jvm" or len(set(masks)) != len(masks):
+        sk = sketch_by(
+            df, value_col, keys_union, p=p, hash_mode=hash_mode, impl=impl
+        )
+        return estimate_grouping_sets(sk, sets, estimate_col=estimate_col)
+    from . import jvmagg
+
+    _validate(p, "hll", hash_mode, impl)
+    filtered = df.where(F.col(value_col).isNotNull())
+    v = (
+        F.xxhash64(F.col(value_col))
+        if hash_mode == "xxhash64"
+        else F.col(value_col).cast("long")
+    )
+    projected = filtered.select(*keys_union, v.alias(_HASH_COL))
+    est = jvmagg.est_agg_column(df.sparkSession, p, _HASH_COL).alias(
+        estimate_col
+    )
+    grouped = projected.groupingSets(
+        [[F.col(k) for k in s] for s in sets],
+        *[F.col(k) for k in keys_union],
+    )
+    out = grouped.agg(F.grouping_id().alias("__gmask"), est)
+    gid = F.lit(None).cast("int")
+    for g, mask in enumerate(masks):
+        gid = F.when(F.col("__gmask") == mask, g).otherwise(gid)
+    return out.select(
+        gid.alias("grouping_set_id"), *keys_union, F.col(estimate_col)
+    )
+
+
+def approx_distinct_rollup(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    p: int = 14,
+    hash_mode: str = "xxhash64",
+    impl: str | None = None,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """ROLLUP(k1, ..., kn) distinct-count estimates from one base scan:
+    grains (k1..kn), (k1..kn-1), ..., () — see approx_distinct_grouping_sets."""
+    sets = [list(keys)[:i] for i in range(len(keys), -1, -1)]
+    return approx_distinct_grouping_sets(
+        df, value_col, sets, p, hash_mode, impl, estimate_col
+    )
 
 
 def sketch_cube(

@@ -61,10 +61,13 @@ def is_available(spark: SparkSession) -> bool:
 
 
 def _register(spark: SparkSession, p: int, flavor: str) -> str:
-    """Register (idempotently) one of the two UDAFs for precision ``p`` and
-    return its SQL function name.  flavor: 'regs' (raw register bytes out —
-    for sketch_by / checkpointing) or 'est' (double estimate out — the
-    single-stage pure-JVM approx_distinct plan)."""
+    """Register (idempotently) one of the UDAFs for precision ``p`` and
+    return its SQL function name.  flavor: 'regs' (bigint hash in, raw
+    register bytes out — for sketch_by / checkpointing), 'est' (bigint hash
+    in, double estimate out — the single-stage pure-JVM approx_distinct
+    plan), or 'merge_est' (raw register bytes IN, register-wise max merge,
+    double estimate out — the re-aggregation half of the monoid, used by the
+    zero-Python rollup/grouping-sets plan)."""
     name = f"hllspark_{flavor}_p{p}"
     if not is_available(spark):
         raise RuntimeError(
@@ -73,14 +76,14 @@ def _register(spark: SparkSession, p: int, flavor: str) -> str:
             "hllspark.jvmagg docstring)"
         )
     jvm = spark._jvm
-    agg_obj = (
-        jvm.hllspark.HllRegAggregator(p)
-        if flavor == "regs"
-        else jvm.hllspark.HllEstimateAggregator(p)
-    )
-    udaf = jvm.org.apache.spark.sql.functions.udaf(
-        agg_obj, jvm.org.apache.spark.sql.Encoders.LONG()
-    )
+    enc = jvm.org.apache.spark.sql.Encoders
+    if flavor == "regs":
+        agg_obj, in_enc = jvm.hllspark.HllRegAggregator(p), enc.LONG()
+    elif flavor == "est":
+        agg_obj, in_enc = jvm.hllspark.HllEstimateAggregator(p), enc.LONG()
+    else:  # merge_est
+        agg_obj, in_enc = jvm.hllspark.HllMergeEstimateAggregator(p), enc.BINARY()
+    udaf = jvm.org.apache.spark.sql.functions.udaf(agg_obj, in_enc)
     spark._jsparkSession.udf().register(name, udaf)
     return name
 
@@ -99,3 +102,11 @@ def est_agg_column(spark: SparkSession, p: int, hash_col: str) -> Column:
     """Aggregate expression producing the distinct-count estimate (double)
     from a bigint hash column — no Python stage anywhere in the plan."""
     return F.expr(f"{_register(spark, p, 'est')}(`{hash_col}`)")
+
+
+def merge_est_agg_column(spark: SparkSession, p: int, regs_col: str) -> Column:
+    """Aggregate expression merging raw dense byte[2^p] register arrays
+    (register-wise max) and producing the distinct-count estimate (double).
+    The re-aggregation plan: fine registers -> coarser grains with no
+    Python stage (reference merge HyperLogLog.hpp:124-131)."""
+    return F.expr(f"{_register(spark, p, 'merge_est')}(`{regs_col}`)")

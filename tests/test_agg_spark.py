@@ -349,3 +349,83 @@ def test_approx_distinct_multi_all_null_column_is_zero(spark):
     assert rows["a"]["distinct_s"] == 0.0
     assert rows["a"]["distinct_u"] > 0
     assert rows["b"]["distinct_s"] > 0
+
+
+def test_approx_distinct_rollup_matches_sketch_rollup(spark, events):
+    """The fused one-scan GROUPING SETS plan (native Expand + JVM estimate
+    aggregate, zero Python) must produce the SAME estimates as the two-phase
+    sketch_by -> sketch_rollup path.  Same registers either way; only the
+    last-ULP of the linear-counting log may differ (JVM Math.log vs numpy
+    libm), so compare at rel 1e-12 rather than exact equality."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    fused = agg.approx_distinct_rollup(
+        ev, "user_id", ["event_type", "day"], p=10
+    ).collect()
+    two_phase = agg.sketch_rollup(
+        agg.sketch_by(ev, "user_id", ["event_type", "day"], p=10, impl="sql"),
+        ["event_type", "day"],
+    ).collect()
+
+    def key(r):
+        return (r["grouping_set_id"], str(r["event_type"]), str(r["day"]))
+
+    got = {key(r): r["distinct_estimate"] for r in fused}
+    want = {key(r): r["distinct_estimate"] for r in two_phase}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_approx_distinct_grouping_sets_gid_mapping(spark, events):
+    """grouping_id() bitmask -> positional grouping_set_id mapping holds for
+    non-rollup (arbitrary) set lists, including the reversed-key grain."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    sets = [["day"], ["event_type", "day"], []]
+    out = agg.approx_distinct_grouping_sets(
+        ev, "user_id", sets, p=10
+    ).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["grouping_set_id"], []).append(r)
+    # gid 0 = [day]: event_type NULL, day set
+    assert all(r["event_type"] is None and r["day"] is not None for r in by_gid[0])
+    # gid 1 = [event_type, day]: both set
+    assert all(
+        r["event_type"] is not None and r["day"] is not None for r in by_gid[1]
+    )
+    # gid 2 = []: single global row
+    assert len(by_gid[2]) == 1 and by_gid[2][0]["event_type"] is None
+
+
+def test_jvm_merge_estimate_aggregator_parity(spark):
+    """HllMergeEstimateAggregator (raw-register merge + estimate in the JVM)
+    == numpy register max + python estimator, and is partition-invariant —
+    the reference's merge-reordering guarantee (HyperLogLog.hpp:124-131)
+    lifted to the JVM re-aggregation path."""
+    from hllspark import jvmagg
+
+    if not jvmagg.is_available(spark):
+        pytest.skip("jvm jar not on classpath")
+    p = 8
+    rng = np.random.default_rng(7)
+    parts = [rng.integers(0, 30, size=1 << p).astype(np.uint8) for _ in range(6)]
+    df = spark.createDataFrame(
+        [(int(i % 2), bytearray(x.tobytes())) for i, x in enumerate(parts)],
+        "k int, regs binary",
+    )
+    est = jvmagg.merge_est_agg_column(spark, p, "regs").alias("est")
+    got = {r["k"]: r["est"] for r in df.groupBy("k").agg(est).collect()}
+    for k in (0, 1):
+        merged = np.maximum.reduce([x for i, x in enumerate(parts) if i % 2 == k])
+        want = float(hll.estimate(merged[None, :])[0])
+        assert got[k] == pytest.approx(want, rel=1e-12)
+    # partition invariance: same result at 1 and 6 partitions
+    got1 = {
+        r["k"]: r["est"]
+        for r in df.repartition(1).groupBy("k").agg(est).collect()
+    }
+    got6 = {
+        r["k"]: r["est"]
+        for r in df.repartition(6).groupBy("k").agg(est).collect()
+    }
+    assert got1 == got6 == got
