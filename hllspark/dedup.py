@@ -152,7 +152,13 @@ def minhash_lsh_candidates(
     bucket (boilerplate corpus, thousands of identical documents) is
     O(bucket^2) and would dominate at 10^12-row scale; buckets above the
     cap are dropped with a logged warning (see hllspark.lshutil) — collapse
-    exact duplicates upstream with deduplicate_exact first.
+    exact duplicates upstream with deduplicate_exact first
+    (deduplicate_near composes that collapse automatically).
+
+    NOTE: with a cap set, CONSTRUCTING this plan runs one eager aggregation
+    job over the banded table (the drop-telemetry pass — measured ~1% of
+    the end-to-end near-dup cost, see PLANS.md §2); build the plan once and
+    reuse it rather than re-calling this in a loop.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -282,66 +288,99 @@ def minhash_near_duplicates(
 # duplicate clusters (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, 'Connected Components in
+    MapReduce and Beyond'): every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood.  One groupBy +
+    one join, both keyed on the node — shuffle bounded by the edge count."""
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = und.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("__m")
+    )
+    return (
+        und.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge high->low, then every node links
+    ALL its smaller neighbors (and itself) to the minimum one."""
+    oriented = edges.where(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("__m"))
+    joined = oriented.join(mins, "src")
+    lo_links = joined.where(F.col("dst") != F.col("__m")).select(
+        F.col("dst").alias("src"), F.col("__m").alias("dst")
+    )
+    hi_links = joined.select(F.col("src"), F.col("__m").alias("dst"))
+    return lo_links.unionByName(hi_links).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
 ) -> DataFrame:
-    """Connected components of the (undirected) pair graph by min-label
-    propagation: returns (id, component) where component is the smallest id
-    in the node's component — the canonical representative used by
-    near-duplicate clustering.
+    """Connected components of the (undirected) pair graph: returns
+    (id, component) where component is the smallest id in the node's
+    component — the canonical representative used by near-dup clustering.
 
-    Plan per iteration: one hash join (edges x labels, shuffled on id) +
-    one min-aggregate — shuffle volume bounded by the edge count, never the
-    corpus.  Iterations needed = graph diameter; near-dup graphs are
-    union-of-cliques-ish (tiny diameters), so this converges in a handful
-    of rounds.  Labels are localCheckpoint()ed each round to keep the
-    lineage flat (same reason GraphX/Pregel materializes per superstep);
-    convergence is detected by a changed-label count, one scalar action per
-    round.  Raises if not converged within ``max_iterations`` (pathological
-    chain graphs want the large-star/small-star variant; out of scope
-    until a real corpus needs it).
+    Algorithm: alternating large-star / small-star rounds (Kiveris et al.
+    2014) — each round is two bounded-shuffle groupBy+join passes over the
+    CURRENT edge set (never the corpus), and the edge set contracts toward
+    a star per component in O(log n) rounds even on pathological
+    chain/path graphs (the round-2 min-label-propagation version needed
+    graph-diameter rounds and raised on long chains; pytest covers a
+    10k-node path converging in ~15 rounds).  Edges are
+    localCheckpoint()ed each round to keep the lineage flat (the same
+    reason GraphX/Pregel materializes per superstep); convergence =
+    small-star output identical to the previous round's, detected with one
+    exceptAll count per round.  Raises if not converged within
+    ``max_iterations`` (needs ~2*log2(n) rounds — 50 covers any
+    realistically material graph).  Ids keep their native type
+    (string/long alike — only ordering is required).
     """
-    # keep the ids' native type: every other dedup operator supports
-    # string/long ids alike, and min-label propagation only needs ordering
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    )
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
         .distinct()
-        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    # singleton pairs (id_a == id_b) still name a node: remember every node
+    # seen in the input so the label output covers them
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
-        msgs = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), "component")
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = new_edges.exceptAll(edges).count() + edges.exceptAll(
+            new_edges
+        ).count()
+        edges = new_edges
         if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds"
-    )
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # converged star edges are (member, root) with root = component min;
+    # nodes absent from the star edges are their own component
+    members = edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = nodes.join(
+        edges.select(F.col("src").alias("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("component"))
+    return members.unionByName(roots)
 
 
 def deduplicate_near(
@@ -355,17 +394,66 @@ def deduplicate_near(
     seed: int = 7,
     max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """Near-duplicate corpus dedup end to end: MinHash+LSH pairs ->
+    """Near-duplicate corpus dedup end to end: exact-duplicate collapse ->
+    MinHash+LSH pairs over the per-fingerprint representatives ->
     connected components -> keep the smallest id per component (plus all
     documents in no near-dup pair).  The anti-join removes only non-
-    representative members, so the output schema equals the input schema."""
+    representative members, so the output schema equals the input schema.
+
+    The exact collapse (fingerprint groupBy, min-id representative) is NOT
+    just an optimization — it is what makes the over-cap bucket guard safe:
+    a degenerate corpus with thousands of byte-identical copies previously
+    flooded an LSH bucket past ``max_bucket_size``, and the dropped bucket
+    silently lost real near-dup pairs.  Collapsing identical documents
+    first means an over-cap bucket can only arise from thousands of
+    DISTINCT texts colliding in one band — the true pathological case the
+    cap exists for.  Exact duplicates are clustered transitively through
+    their representative: component(doc) = component(rep(fingerprint(doc)))
+    and the representative (min id per fingerprint group) preserves the
+    min-id-per-component survivor rule.
+
+    Documents too short to shingle (< k tokens) are OUTSIDE near-dup
+    semantics (k-gram jaccard is undefined on them) and are always kept —
+    so they are also excluded from the exact collapse, keeping this
+    operator's keep-set exactly the jaccard-threshold definition the
+    exhaustive oracle computes."""
+    has_shingles = (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= F.lit(k)
+    ) & (F.trim(F.col(text_col)) != "")
+    fp = df.select(
+        F.col(id_col),
+        F.when(has_shingles, content_fingerprint(F.col(text_col))).alias(
+            "__fp"
+        ),
+    )
+    doc2rep = (
+        fp.join(
+            fp.where(F.col("__fp").isNotNull())
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias("__rep")),
+            "__fp",
+            "left",
+        )
+        .select(
+            id_col, F.coalesce(F.col("__rep"), F.col(id_col)).alias("__rep")
+        )
+    )
+    reps = df.join(
+        doc2rep.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
     pairs = minhash_near_duplicates(
-        df, text_col, id_col, threshold, k, num_hashes, bands, seed,
+        reps, text_col, id_col, threshold, k, num_hashes, bands, seed,
         max_bucket_size,
     )
     comp = connected_components(pairs)
-    losers = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    doc_comp = doc2rep.join(
+        comp, doc2rep["__rep"] == comp["id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col("__rep")).alias("__component"),
+    )
+    losers = doc_comp.where(F.col(id_col) != F.col("__component")).select(
+        F.col(id_col)
     )
     return df.join(losers, id_col, "left_anti")
 
