@@ -90,6 +90,13 @@ def main() -> None:
         (F.col("id") * 2654435761).alias("v"),
         (F.col("id") % 8).cast("string").alias("g"),
     )
+    # 100k-cardinality string keys: the group-key-probe-bound shape
+    synth_100k = spark.range(SYNTH_ROWS, numPartitions=4 * CPUS).select(
+        (F.col("id") * 2654435761).alias("v"),
+        F.concat(
+            F.lit("hostkey_"), (F.col("id") % 100_000).cast("string")
+        ).alias("gs"),
+    )
 
     # north-rule input shape: Common-Crawl-style pages (url, warc_ts, html,
     # text, lang).  Materialized to parquet ONCE, untimed — the reference
@@ -162,6 +169,14 @@ def main() -> None:
         "q9_skewed_neardup_capped": lambda: dedup.minhash_near_duplicates(
             poisoned_docs, threshold=0.7, max_bucket_size=1024
         ).count(),
+        # high-cardinality string group keys (the 100 TB lang x url-host
+        # grouping shape): probe on xxhash64(key) longs, key carried via
+        # FIRST (key_encode='hash64', round 3 — PLANS.md §8 A/B: 1.3x over
+        # the plain string probe, dictionary broadcast-join rejected at 3.8x
+        # SLOWER)
+        "q10_synth_100k_strkeys": lambda: agg.approx_distinct(
+            synth_100k, "v", ["gs"], p=12, key_encode="hash64"
+        ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -195,6 +210,9 @@ def main() -> None:
             SYNTH_ROWS / results["b0_hashonly_20m"]
         ),
         "pages_rows_per_sec": round(2_000_000 / results["q0_pages_2m_urls_by_lang"]),
+        "grouped_100k_strkeys_rows_per_sec": round(
+            SYNTH_ROWS / results["q10_synth_100k_strkeys"]
+        ),
         "build_vs_hashonly_floor": round(
             results["q5_synth_20m_build"] / results["b0_hashonly_20m"], 3
         ),

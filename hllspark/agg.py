@@ -368,12 +368,23 @@ def estimate_raw_udf(s: pd.Series) -> pd.Series:
     return pd.Series(_hll.estimate(regs))
 
 
-def _raw_registers_jvm(df, value_col, keys, p, hash_mode):
+def _raw_registers_jvm(df, value_col, keys, p, hash_mode, key_encode=None):
     """scan -> JVM hash projection -> ObjectHashAggregate with a dense
     byte[m] register buffer (hllspark.jvmagg) -> one raw-register row per
     group.  Partial aggregation ships one m-byte buffer per (group, map
     task): the same shuffle shape as the reference's treeAggregate-style
-    build and Spark's own HLL++ (no per-row (keys, j) map probe)."""
+    build and Spark's own HLL++ (no per-row (keys, j) map probe).
+
+    key_encode='hash64': group on xxhash64 of each key instead of the key
+    itself (the key value is carried to the output via FIRST over the
+    group, where it is constant) — the hash-aggregate probe compares one
+    long per key instead of hashing+comparing a string per row.  Measured
+    1.3x at 20M rows x 100k string keys (PLANS.md §8); a 64-bit collision
+    between two distinct keys would merge their groups, so this is opt-in
+    and recommended only while #groups << 2^32 (p_collide ≈ K²/2^65).
+    Dictionary-encoding via a broadcast-joined dim table was A/B'd and
+    REJECTED: the per-row join probe costs more than the agg probe it
+    replaces (3.0s vs 0.8s baseline, PLANS.md §8)."""
     from . import jvmagg
 
     filtered = df.where(F.col(value_col).isNotNull())
@@ -382,15 +393,25 @@ def _raw_registers_jvm(df, value_col, keys, p, hash_mode):
         if hash_mode == "xxhash64"
         else F.col(value_col).cast("long")
     )
-    projected = filtered.select(*keys, v.alias(_HASH_COL))
     regs = jvmagg.regs_agg_column(df.sparkSession, p, _HASH_COL).alias("__regs")
+    if keys and key_encode == "hash64":
+        hashed = [F.xxhash64(F.col(k)).alias(f"__gk{i}") for i, k in enumerate(keys)]
+        projected = filtered.select(*hashed, *keys, v.alias(_HASH_COL))
+        firsts = [F.first(k).alias(k) for k in keys]
+        return (
+            projected.groupBy(*[f"__gk{i}" for i in range(len(keys))])
+            .agg(*firsts, regs)
+            .drop(*[f"__gk{i}" for i in range(len(keys))])
+        )
+    projected = filtered.select(*keys, v.alias(_HASH_COL))
     if keys:
         return projected.groupBy(*keys).agg(regs)
     return projected.agg(regs)  # empty input -> zero() buffer == empty sketch
 
 
-def _sketch_by_jvm(df, value_col, keys, p, algo, m_bits, hash_mode):
-    built = _raw_registers_jvm(df, value_col, keys, p, hash_mode)
+def _sketch_by_jvm(df, value_col, keys, p, algo, m_bits, hash_mode,
+                   key_encode=None):
+    built = _raw_registers_jvm(df, value_col, keys, p, hash_mode, key_encode)
     enc = _encode_raw_udf(algo, m_bits)
     return built.select(*keys, enc(F.col("__regs")).alias(_SKETCH_COL))
 
@@ -477,18 +498,30 @@ def sketch_by(
     hash_mode: str = "xxhash64",
     impl: str | None = None,
     salt_buckets: int = 0,
+    key_encode: str | None = None,
 ) -> DataFrame:
     """Build one sketch of distinct ``value_col`` per group of ``keys``.
 
     Returns DataFrame[keys..., sketch binary].  Nulls in value_col are
     ignored (COUNT DISTINCT semantics); null group keys form a group.
     See module docstring for the two physical plans.
+
+    key_encode='hash64' (jvm impl only): probe the grouped aggregate on
+    xxhash64(key) longs instead of raw string keys — ~1.3x at 100k string
+    keys; opt-in because a 64-bit key collision merges two groups (see
+    _raw_registers_jvm).
     """
     keys = list(keys or [])
     impl = _resolve_impl(df, hash_mode, impl)
     _validate(p, algo, hash_mode, impl)
+    if key_encode not in (None, "hash64"):
+        raise ValueError(f"unknown key_encode {key_encode!r}")
+    if key_encode and impl != "jvm":
+        raise ValueError("key_encode='hash64' requires impl='jvm'")
     if impl == "jvm":
-        return _sketch_by_jvm(df, value_col, keys, p, algo, m_bits, hash_mode)
+        return _sketch_by_jvm(
+            df, value_col, keys, p, algo, m_bits, hash_mode, key_encode
+        )
     if impl == "sql":
         return _sketch_by_sql(df, value_col, keys, p, algo, m_bits, hash_mode)
     return _sketch_by_pandas(
@@ -761,15 +794,21 @@ def approx_distinct(
     hash_mode: str = "xxhash64",
     impl: str | None = None,
     estimate_col: str = "distinct_estimate",
+    key_encode: str | None = None,
     **kw,
 ) -> DataFrame:
     """Convenience: build + estimate. DataFrame[keys..., estimate double].
 
     With impl='sql' (default for JVM hash modes) the whole query — hashing,
     register max, and the Flajolet estimator — runs as native Spark SQL with
-    no Python stage at all."""
+    no Python stage at all.  key_encode='hash64' (jvm impl only): see
+    sketch_by."""
     keys = list(keys or [])
     impl = _resolve_impl(df, hash_mode, impl)
+    if key_encode not in (None, "hash64"):
+        raise ValueError(f"unknown key_encode {key_encode!r}")
+    if key_encode and impl != "jvm":
+        raise ValueError("key_encode='hash64' requires impl='jvm'")
     if impl == "jvm":
         # single ObjectHashAggregate finishing to the estimate in the JVM —
         # the exact plan shape of approx_count_distinct, zero Python
@@ -782,10 +821,22 @@ def approx_distinct(
             if hash_mode == "xxhash64"
             else F.col(value_col).cast("long")
         )
-        projected = filtered.select(*keys, v.alias(_HASH_COL))
         est = jvmagg.est_agg_column(df.sparkSession, p, _HASH_COL).alias(
             estimate_col
         )
+        if keys and key_encode == "hash64":
+            hashed = [
+                F.xxhash64(F.col(k)).alias(f"__gk{i}")
+                for i, k in enumerate(keys)
+            ]
+            projected = filtered.select(*hashed, *keys, v.alias(_HASH_COL))
+            firsts = [F.first(k).alias(k) for k in keys]
+            return (
+                projected.groupBy(*[f"__gk{i}" for i in range(len(keys))])
+                .agg(*firsts, est)
+                .drop(*[f"__gk{i}" for i in range(len(keys))])
+            )
+        projected = filtered.select(*keys, v.alias(_HASH_COL))
         if keys:
             return projected.groupBy(*keys).agg(est)
         return projected.agg(est)

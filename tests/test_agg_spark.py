@@ -429,3 +429,52 @@ def test_jvm_merge_estimate_aggregator_parity(spark):
         for r in df.repartition(6).groupBy("k").agg(est).collect()
     }
     assert got1 == got6 == got
+
+
+def test_key_encode_hash64_matches_plain_grouping(spark, events):
+    """key_encode='hash64' (probe on xxhash64(key) longs, key carried via
+    FIRST) must return byte-identical sketches and identical estimates to
+    plain string grouping on a collision-free key set."""
+    from hllspark import jvmagg
+
+    if not jvmagg.is_available(spark):
+        pytest.skip("jvm jar not on classpath")
+    plain = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in agg.sketch_by(
+            events, "user_id", ["event_type"], p=10, impl="jvm"
+        ).collect()
+    }
+    encoded = {
+        r["event_type"]: bytes(r["sketch"])
+        for r in agg.sketch_by(
+            events, "user_id", ["event_type"], p=10, impl="jvm",
+            key_encode="hash64",
+        ).collect()
+    }
+    assert plain == encoded
+    est_plain = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in agg.approx_distinct(
+            events, "user_id", ["event_type"], p=10, impl="jvm"
+        ).collect()
+    }
+    est_enc = {
+        r["event_type"]: r["distinct_estimate"]
+        for r in agg.approx_distinct(
+            events, "user_id", ["event_type"], p=10, impl="jvm",
+            key_encode="hash64",
+        ).collect()
+    }
+    assert est_plain == est_enc
+
+
+def test_key_encode_requires_jvm_and_valid_name(spark, events):
+    with pytest.raises(ValueError, match="requires impl='jvm'"):
+        agg.sketch_by(
+            events, "user_id", ["event_type"], impl="sql", key_encode="hash64"
+        )
+    with pytest.raises(ValueError, match="unknown key_encode"):
+        agg.approx_distinct(
+            events, "user_id", ["event_type"], key_encode="dict"
+        )
