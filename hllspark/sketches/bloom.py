@@ -12,7 +12,7 @@ import struct
 import numpy as np
 
 from ..hashing import fibonacci_hash, hash_items
-from .generic import SketchKind
+from .generic import GroupedState, SketchKind
 
 _MAGIC = b"BLM1"
 
@@ -74,6 +74,20 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(buf, dtype=np.uint8, offset=12, count=m_bits // 8).copy(), k
 
 
+def _grouped_update(
+    block: np.ndarray, codes: np.ndarray, values, k: int
+) -> None:
+    """Grouped scatter into the (G, m/8) bit-array stack: one bitwise-or
+    over all (group, position) pairs of the batch (k x n of them), same
+    positions as update()."""
+    if len(values) == 0:
+        return
+    pos = _positions(values, block.shape[1] * 8, k)
+    rows = np.broadcast_to(codes, pos.shape).ravel()
+    flat = pos.ravel()
+    np.bitwise_or.at(block, (rows, flat >> 3), (1 << (flat & 7)).astype(np.uint8))
+
+
 def kind(m_bits: int = 1 << 16, k: int = 7) -> SketchKind:
     return SketchKind(
         name=f"bloom_m{m_bits}_k{k}",
@@ -82,4 +96,9 @@ def kind(m_bits: int = 1 << 16, k: int = 7) -> SketchKind:
         merge=merge,
         encode=lambda s: encode(s, k),
         decode=lambda b: decode(b)[0],
+        grouped=GroupedState(
+            zero_block=lambda g: np.zeros((g, m_bits // 8), dtype=np.uint8),
+            update=lambda b, c, v: _grouped_update(b, c, v, k),
+            to_state=lambda row: row,
+        ),
     )

@@ -17,7 +17,7 @@ import struct
 import numpy as np
 
 from ..hashing import fibonacci_hash, hash_items
-from .generic import SketchKind
+from .generic import GroupedState, SketchKind
 
 _MAGIC = b"CMS1"
 
@@ -105,6 +105,18 @@ def decode(buf: bytes) -> np.ndarray:
     )
 
 
+def _grouped_update(block: np.ndarray, codes: np.ndarray, values) -> None:
+    """Grouped scatter into the (G, depth, width) counter stack: one
+    np.add.at per depth row across ALL groups of the batch (same
+    Kirsch-Mitzenmacher indices as update(), so counts are identical)."""
+    if len(values) == 0:
+        return
+    depth, width = block.shape[1], block.shape[2]
+    idx = _row_indices(values, width, depth)
+    for i in range(depth):
+        np.add.at(block[:, i, :], (codes, idx[i]), 1)
+
+
 def kind(width: int = 2053, depth: int = 5) -> SketchKind:
     width = next_prime(width)
     return SketchKind(
@@ -114,4 +126,9 @@ def kind(width: int = 2053, depth: int = 5) -> SketchKind:
         merge=merge,
         encode=encode,
         decode=decode,
+        grouped=GroupedState(
+            zero_block=lambda g: np.zeros((g, depth, width), dtype=np.int64),
+            update=_grouped_update,
+            to_state=lambda row: row,
+        ),
     )

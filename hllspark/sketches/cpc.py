@@ -43,7 +43,7 @@ import zlib
 import numpy as np
 
 from ..hashing import clz64, hash_items
-from .generic import SketchKind
+from .generic import GroupedState, SketchKind
 
 _MAGIC = b"CPC1"
 
@@ -143,6 +143,21 @@ def decode(buf: bytes):
     return (k, rows)
 
 
+def _grouped_update(block: np.ndarray, codes: np.ndarray, values) -> None:
+    """One bitwise-or scatter across all groups of the batch: block is the
+    (G, k) coupon matrix stack, codes[i] is the block row of values[i].
+    Same (row, col) math as update(), so results are byte-identical."""
+    if len(values) == 0:
+        return
+    k = block.shape[1]
+    lg = _lgk(k)
+    h = hash_items(np.asarray(values))
+    row = (h & np.uint64(k - 1)).astype(np.int64)
+    w = h << np.uint64(lg)
+    col = np.minimum(clz64(w), 63).astype(np.uint64)
+    np.bitwise_or.at(block, (codes, row), np.uint64(1) << col)
+
+
 def kind(k: int = 2048) -> SketchKind:
     return SketchKind(
         name=f"cpc-{k}",
@@ -151,4 +166,9 @@ def kind(k: int = 2048) -> SketchKind:
         merge=merge,
         encode=encode,
         decode=decode,
+        grouped=GroupedState(
+            zero_block=lambda g: np.zeros((g, k), dtype=np.uint64),
+            update=_grouped_update,
+            to_state=lambda row: (k, row),
+        ),
     )

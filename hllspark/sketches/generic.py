@@ -14,16 +14,19 @@ per (partition, key), never raw rows):
         decode      = lambda bytes -> state,
     )
 
-Cardinality boundary (documented trade-off): the per-batch fold loops
-Python once per DISTINCT KEY PER BATCH (never per row — each kind's
-update is vectorized over the group's values).  That is negligible up to
-~10^3–10^4 keys per Arrow batch; for very high-cardinality group keys the
-per-group overhead dominates and the HLL family's dedicated paths
-(hllspark.agg impl='jvm'/'sql', which never touch Python at row or group
-scale) are the right tool — HLL is the only kind here with a meaningful
-ultra-high-key use (per-entity distinct counts).  The non-HLL kinds are
-summaries one typically keeps per coarse segment (type, day, language),
-where #keys is small by construction.
+Cardinality boundary: the generic per-batch fold loops Python once per
+DISTINCT KEY PER BATCH (never per row — each kind's update is vectorized
+over the group's values).  That is negligible up to ~10^3–10^4 keys per
+Arrow batch.  Kinds whose state is a FIXED-SHAPE numpy array (CPC coupon
+rows, count-min tables, Bloom bit arrays) additionally provide a
+``GroupedState`` adapter (round 3): all groups of a partition live in one
+(G, ...) state block and every Arrow batch applies ONE ``np.*.at``
+grouped scatter across all its groups — per-key Python work drops to a
+dict lookup per distinct key per batch, the same shape as the HLL pandas
+build (A/B in PLANS.md §12).  Variable-size kinds (KLL, t-digest, KMV,
+Misra-Gries) keep the per-group fold; they are summaries one typically
+keeps per coarse segment, where #keys is small by construction — and the
+HLL family's dedicated jvm/sql paths never touch Python at all.
 """
 
 from __future__ import annotations
@@ -39,6 +42,22 @@ from pyspark.sql.types import BinaryType
 
 
 @dataclass(frozen=True)
+class GroupedState:
+    """Vectorized multi-group state block for fixed-shape array kinds.
+
+    zero_block(G) allocates the (G, ...) state block; update(block, codes,
+    values) scatters one Arrow batch into it (codes[i] = block row of
+    values[i]); to_state(block[g]) converts one row back to the kind's
+    single-sketch state for encode().  update must be order-insensitive
+    per group (max / or / add scatters are), so results are byte-identical
+    to the per-group fold."""
+
+    zero_block: Callable[[int], np.ndarray]
+    update: Callable[[np.ndarray, np.ndarray, np.ndarray], None]
+    to_state: Callable[[np.ndarray], object]
+
+
+@dataclass(frozen=True)
 class SketchKind:
     name: str
     zero: Callable[[], object]
@@ -46,6 +65,7 @@ class SketchKind:
     merge: Callable[[object, object], object]
     encode: Callable[[object], bytes]
     decode: Callable[[bytes], object]
+    grouped: GroupedState | None = None
 
 
 def sketch_agg(
@@ -64,6 +84,43 @@ def sketch_agg(
         if f.name in keys
     )
     out_schema = (key_schema + ", " if key_schema else "") + f"{sketch_col} binary"
+
+    def build_partials_grouped(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        """Fixed-shape-state path: one (G, ...) block per partition, ONE
+        grouped scatter per Arrow batch — Python cost per distinct key per
+        batch is a dict lookup, not a kind.update call."""
+        g = kind.grouped
+        key_index: dict[tuple, int] = {}
+        key_frames: list[pd.DataFrame] = []
+        block = g.zero_block(0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = pdf.groupby(keys, dropna=False, sort=False).ngroup().to_numpy()
+            uniq, first_idx = np.unique(codes, return_index=True)
+            key_df = pdf[keys].iloc[first_idx]
+            gids = np.empty(len(uniq), dtype=np.int64)
+            for row_i, kt in enumerate(key_df.itertuples(index=False, name=None)):
+                gid = key_index.get(kt)
+                if gid is None:
+                    gid = len(key_index)
+                    key_index[kt] = gid
+                    key_frames.append(key_df.iloc[row_i : row_i + 1])
+                gids[row_i] = gid
+            if len(key_index) > block.shape[0]:
+                grown = g.zero_block(max(2 * block.shape[0], len(key_index), 64))
+                grown[: block.shape[0]] = block
+                block = grown
+            g.update(block, gids[codes], pdf[value_col].to_numpy())
+        if not key_index:
+            return
+        out = pd.concat(key_frames, ignore_index=True)
+        out[sketch_col] = [
+            kind.encode(g.to_state(block[i])) for i in range(len(key_index))
+        ]
+        yield out
 
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict[tuple, object] = {}
@@ -96,7 +153,11 @@ def sketch_agg(
             out = pd.DataFrame({sketch_col: blobs})
         yield out
 
-    partials = projected.mapInPandas(build_partials, schema=out_schema)
+    builder = (
+        build_partials_grouped if kind.grouped is not None and keys
+        else build_partials
+    )
+    partials = projected.mapInPandas(builder, schema=out_schema)
 
     def _merge(s: pd.Series) -> bytes:
         states = [kind.decode(b) for b in s if b is not None]

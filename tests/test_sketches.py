@@ -487,3 +487,31 @@ class TestCPC:
         for r in rows:
             st = cpc.decode(bytes(r["sketch"]))
             assert abs(cpc.estimate(st) - 4500) / 4500 < 4 * cpc.rse(1024)
+
+
+def test_grouped_scatter_path_byte_equals_fold_path(spark):
+    """Round-3 GroupedState adapter (one np.*.at scatter per Arrow batch
+    across all groups) must produce byte-identical sketches to the
+    per-group fold for every fixed-shape kind (CPC / count-min / Bloom)."""
+    import dataclasses
+
+    from hllspark.sketches import bloom, cpc, countmin, generic
+
+    df = spark.range(100_000, numPartitions=16).select(
+        (F.col("id") % 300).cast("string").alias("g"),
+        (F.col("id") * 7 % 9973).cast("string").alias("v"),
+    )
+    for kk in (cpc.kind(256), countmin.kind(211, 3), bloom.kind(1 << 12, 5)):
+        assert kk.grouped is not None, kk.name
+        fast = {
+            r["g"]: bytes(r["sketch"])
+            for r in generic.sketch_agg(df, "v", kk, ["g"]).collect()
+        }
+        fold = {
+            r["g"]: bytes(r["sketch"])
+            for r in generic.sketch_agg(
+                df, "v", dataclasses.replace(kk, grouped=None), ["g"]
+            ).collect()
+        }
+        assert fast == fold, kk.name
+        assert len(fast) == 300, kk.name
