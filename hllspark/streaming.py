@@ -294,6 +294,93 @@ def generic_sketch_stream(
     )
 
 
+def windowed_generic_stream(
+    sdf: DataFrame,
+    value_col: str,
+    ts_col: str,
+    window_duration: str,
+    kind,
+    keys: Sequence[str] | None = None,
+    watermark_delay: str = "0 seconds",
+    emit: str = "update",
+) -> DataFrame:
+    """Event-time windowed per-(window, keys) sketches for ANY mergeable
+    SketchKind — the windowed counterpart of ``generic_sketch_stream``,
+    matching ``windowed_register_stream``'s semantics for kinds that have
+    no per-register SQL decomposition (CPC, count-min, Bloom, KLL,
+    t-digest, Misra-Gries, KMV).
+
+    State: one encoded sketch blob per (window, keys...) group, via
+    ``applyInPandasWithState``.  The watermark on ``ts_col`` makes Spark
+    drop rows later than ``watermark_delay`` BEFORE the stateful operator
+    (pytest-verified), so closed windows are never reopened.
+
+    emit='update' (default): every trigger emits the RUNNING
+    (window, keys..., sketch) for groups touched by the micro-batch;
+    state for a window is evicted once the watermark passes window.end
+    (event-time timeout) so total state is bounded by the windows still
+    inside the watermark horizon, not stream lifetime.
+    emit='final': nothing is emitted while a window is open; when the
+    watermark closes it, its sketch row is emitted exactly once and the
+    state dropped — append-mode semantics for downstream sinks that must
+    see each window once (pair with ``snapshot_sink``).
+    """
+    if emit not in ("update", "final"):
+        raise ValueError(f"emit must be 'update' or 'final', got {emit!r}")
+    keys = list(keys or [])
+    wm = sdf.withWatermark(ts_col, watermark_delay)
+    projected = wm.where(F.col(value_col).isNotNull()).select(
+        F.window(ts_col, window_duration).alias("window"), *keys, value_col
+    )
+    group_cols = ["window"] + keys
+    win_field = next(f for f in projected.schema.fields if f.name == "window")
+    key_fields = [f for f in projected.schema.fields if f.name in keys]
+    out_schema = StructType(
+        [win_field] + key_fields + [StructField(_SKETCH_COL, BinaryType())]
+    )
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        def row(blob):
+            out = {"window": [key[0]]}
+            for f, v in zip(key_fields, key[1:]):
+                out[f.name] = [v]
+            out[_SKETCH_COL] = [blob]
+            return pd.DataFrame(out)
+
+        if state.hasTimedOut:  # watermark passed window.end
+            blob = bytes(state.get[0])
+            state.remove()
+            if emit == "final":
+                yield row(blob)
+            return
+        st = kind.decode(bytes(state.get[0])) if state.exists else kind.zero()
+        for pdf in pdfs:
+            if len(pdf):
+                st = kind.update(st, pdf[value_col])
+        blob = kind.encode(st)
+        state.update((bytearray(blob),))
+        # evict (and for emit='final', emit) when the event-time watermark
+        # passes the window end; key[0] is the window struct row
+        end_ms = int(key[0]["end"].timestamp() * 1000)
+        try:
+            state.setTimeoutTimestamp(end_ms)
+        except Exception:
+            # window already at/behind the current watermark (availableNow
+            # catch-up): fire on the next trigger instead
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if emit == "update":
+            yield row(blob)
+
+    return projected.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update" if emit == "update" else "append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming deduplication (training-pipeline operator)
 # ---------------------------------------------------------------------------

@@ -314,3 +314,163 @@ def test_sketch_stream_with_idle_ttl(spark, tmp_path):
         for r in agg.sketch_by(batch_df, "user_id", ["grp"], p=10).collect()
     }
     assert rows == expected
+
+
+def test_windowed_generic_stream_cpc_byte_identical(spark, tmp_path):
+    """Windowed CPC stream (update mode): the last emitted sketch per
+    (window, grp) is byte-identical to a per-window batch build — the
+    OR-matrix monoid is order-invariant, so streaming == batch exactly."""
+    from hllspark.sketches import cpc, generic
+
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, n=4000, n_users=700, files=1)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    kind = cpc.kind(256)
+    out = streaming.windowed_generic_stream(
+        sdf, "user_id", "ts", "6 hours", kind, ["grp"],
+        watermark_delay="1 minute",
+    )
+    got = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            got[(r["window"]["start"], r["grp"])] = bytes(r["sketch"])
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+
+    expected = {
+        (r["ws"], r["grp"]): bytes(r["sketch"])
+        for r in generic.sketch_agg(
+            batch_df.withColumn("ws", F.window("ts", "6 hours")["start"]),
+            "user_id",
+            kind,
+            ["ws", "grp"],
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    assert got == expected
+
+
+def test_windowed_generic_stream_drops_late_rows(spark, tmp_path):
+    """Rows later than the watermark delay must be filtered before the
+    stateful operator: a second run over the same checkpoint with one
+    late row (event time far behind the persisted watermark) must not
+    change the closed window's sketch."""
+    from hllspark.sketches import cpc
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = spark.range(2000).select(
+        (F.col("id") % 400).alias("user_id"),
+        F.lit("a").alias("grp"),
+        F.timestamp_seconds(F.lit(1717200000) + F.col("id")).alias("ts"),
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    kind = cpc.kind(256)
+
+    def stream():
+        sdf = spark.readStream.schema(
+            "user_id long, grp string, ts timestamp"
+        ).parquet(src)
+        return streaming.windowed_generic_stream(
+            sdf, "user_id", "ts", "10 minutes", kind, ["grp"],
+            watermark_delay="30 seconds",
+        )
+
+    got = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            got[(r["window"]["start"], r["grp"])] = bytes(r["sketch"])
+
+    _run_stream(stream(), sink, str(tmp_path / "ck"))
+    first_window_key = min(got)
+    closed_blob = got[first_window_key]
+
+    # second run: one row 2h ahead (advances watermark past everything),
+    # plus one LATE row targeting the first window with a NEW user — if the
+    # late row were accepted, the first window's sketch would change
+    late = spark.createDataFrame(
+        [(999_999, "a", 1717200001), (12, "a", 1717200000 + 7200)],
+        "user_id long, grp string, late_s long",
+    ).select(
+        "user_id", "grp", F.timestamp_seconds(F.col("late_s")).alias("ts")
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    got.clear()
+    _run_stream(stream(), sink, str(tmp_path / "ck"))
+    assert (
+        first_window_key not in got or got[first_window_key] == closed_blob
+    )
+
+
+def test_windowed_generic_stream_final_emits_closed_once(spark, tmp_path):
+    """emit='final': nothing while a window is open; when the watermark
+    passes window.end the sketch is emitted exactly once and state
+    dropped."""
+    from hllspark.sketches import cpc, generic
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = spark.range(3000).select(
+        (F.col("id") % 500).alias("user_id"),
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.timestamp_seconds(F.lit(1717200000) + F.col("id") * 10).alias("ts"),
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    kind = cpc.kind(256)
+
+    def stream():
+        sdf = spark.readStream.schema(
+            "user_id long, grp string, ts timestamp"
+        ).parquet(src)
+        return streaming.windowed_generic_stream(
+            sdf, "user_id", "ts", "2 hours", kind, ["grp"],
+            watermark_delay="0 seconds", emit="final",
+        )
+
+    emitted = []
+
+    def sink(bdf, bid):
+        emitted.extend(
+            ((r["window"]["start"], r["grp"]), bytes(r["sketch"]))
+            for r in bdf.collect()
+        )
+
+    def run_append(sdf):
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_append(stream())
+    # push the watermark far forward so every earlier window times out
+    spark.range(1).select(
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("0").alias("grp"),
+        F.timestamp_seconds(F.lit(1717200000 + 86400 * 30)).alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_append(stream())
+
+    keys = [k for k, _ in emitted]
+    assert len(keys) == len(set(keys))  # exactly once per (window, grp)
+    expected = {
+        (r["ws"], r["grp"]): bytes(r["sketch"])
+        for r in generic.sketch_agg(
+            base.withColumn("ws", F.window("ts", "2 hours")["start"]),
+            "user_id",
+            kind,
+            ["ws", "grp"],
+        ).collect()
+    }
+    done = dict(emitted)
+    for k, blob in done.items():
+        assert expected[k] == blob, k
+    # all original windows must have closed and been emitted
+    assert set(expected).issubset(set(done))

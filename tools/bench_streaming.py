@@ -41,6 +41,9 @@ def main() -> None:
     spark.range(N_ROWS, numPartitions=CPUS).select(
         (F.col("id") % (N_ROWS // 2)).alias("user_id"),
         (F.col("id") % 8).cast("string").alias("grp"),
+        F.timestamp_seconds(F.lit(1717200000) + F.col("id") % 86400).alias(
+            "ts"
+        ),
     ).write.mode("overwrite").parquet(src)
 
     results = {}
@@ -62,14 +65,25 @@ def main() -> None:
             "rows_per_sec": round(N_ROWS / sec),
         }
 
-    sdf = spark.readStream.schema("user_id long, grp string").parquet(src)
+    schema = "user_id long, grp string, ts timestamp"
+    sdf = spark.readStream.schema(schema).parquet(src)
     drain(streaming.register_stream(sdf, "user_id", ["grp"], p=12), "register_stream_native")
-    sdf2 = spark.readStream.schema("user_id long, grp string").parquet(src)
+    sdf2 = spark.readStream.schema(schema).parquet(src)
     drain(streaming.sketch_stream(sdf2, "user_id", ["grp"], p=12), "sketch_stream_stateful")
-    sdf3 = spark.readStream.schema("user_id long, grp string").parquet(src)
+    sdf3 = spark.readStream.schema(schema).parquet(src)
     drain(
         streaming.dedup_stream_approx(sdf3, "user_id", n_buckets=64),
         "dedup_stream_approx_bloom",
+    )
+    from hllspark.sketches import cpc
+
+    sdf4 = spark.readStream.schema(schema).parquet(src)
+    drain(
+        streaming.windowed_generic_stream(
+            sdf4, "user_id", "ts", "1 hour", cpc.kind(2048), ["grp"],
+            watermark_delay="1 minute",
+        ),
+        "windowed_generic_cpc",
     )
 
     doc = {"rows": N_ROWS, "cpus": CPUS, "paths": results}
