@@ -876,9 +876,11 @@ def approx_distinct_multi(
     value_cols = list(value_cols)
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
+    if impl == "pandas":  # explicit ask for a plan that does not exist
+        raise ValueError("approx_distinct_multi has no pandas impl")
     impl = _resolve_impl(df, "xxhash64", impl)
-    if impl == "pandas":
-        impl = "sql"  # no pandas variant of the multi-column plan
+    if impl == "pandas":  # resolved default (farmhash never lands here,
+        impl = "sql"  # but keep the coercion for resolver changes)
     _validate(p, "hll", "xxhash64", impl)
     if impl == "jvm":
         from . import jvmagg

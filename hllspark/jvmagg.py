@@ -47,14 +47,34 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def _executors_have_jar(spark: SparkSession) -> bool:
+    """Executors load classes from spark.jars / spark.executor.extraClassPath
+    — NOT from the driver's classpath.  A session with only
+    spark.driver.extraClassPath would pass the driver probe and then die at
+    task execution with ClassNotFoundException, so availability also
+    requires an executor-visible path (or local mode, where executors share
+    the driver JVM)."""
+    conf = spark.sparkContext.getConf()
+    if conf.get("spark.master", "").startswith("local"):
+        return True
+    for key in ("spark.jars", "spark.executor.extraClassPath",
+                "spark.repl.local.jars"):
+        val = conf.get(key, "") or ""
+        if "hllspark" in val:
+            return True
+    return False
+
+
 def is_available(spark: SparkSession) -> bool:
-    """True iff the aggregator class is loadable in this session's JVM.
-    Probed once per application (instantiation attempt via py4j)."""
+    """True iff the aggregator class is loadable in this session's JVM AND
+    shipped to executors (spark.jars / executor classpath — see
+    _executors_have_jar).  Probed once per application (instantiation
+    attempt via py4j)."""
     key = _session_key(spark)
     if key not in _availability:
         try:
             spark._jvm.hllspark.HllRegAggregator(4)  # ctor validates p
-            _availability[key] = True
+            _availability[key] = _executors_have_jar(spark)
         except Exception:
             _availability[key] = False
     return _availability[key]

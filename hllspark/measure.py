@@ -164,6 +164,38 @@ def _statemachine(args, p, dt, data, flags, mode):
             sm.compress_count, sm.rebase_count)
 
 
+def _cpc(args, dt, data, mode):
+    """CPC coupon-sketch baseline (§2.6; reference vendored DataSketches
+    CPC, datasketches/measure.cpp:161-169).  Same 5-line protocol with
+    bitsize = our DEFLATE transport length, plus a 6th line
+    `cpcEntropyBits` — the first-order entropy bound an arithmetic coder
+    (what DataSketches ships) would approach — so the size column compares
+    apples-to-apples against the reference's CPC numbers."""
+    from .sketches import cpc as _cpcmod
+
+    k = args.m  # registers -> coupon rows
+    if mode == "query":
+        st = _cpcmod.zero(k)
+        t0 = time.perf_counter()
+        st = _cpcmod.update(st, data)
+        seconds = time.perf_counter() - t0
+    else:
+        half = len(data) // 2
+        s1 = _cpcmod.update(_cpcmod.zero(k), data[:half])
+        s2 = _cpcmod.update(_cpcmod.zero(k), data[half:])
+        t0 = time.perf_counter()
+        st = _cpcmod.merge(s1, s2)
+        seconds = time.perf_counter() - t0
+    _report(
+        seconds,
+        _cpcmod.estimate(st),
+        8 * len(_cpcmod.encode(st)),
+        0,
+        0,
+    )
+    print(f"cpcEntropyBits {_cpcmod.entropy_bound_bits(st)}")
+
+
 def _spark_baseline(args, p, dt, data, mode):
     """Comparison baselines through the same CLI protocol — the reference
     ships these as separate binaries (datasketches/measure.cpp,
@@ -260,6 +292,8 @@ def main(argv=None) -> int:
         choices=[
             "hyperloglog", "hyperloglogzstd", "hyperlogloglog", "hashonly",
             "apache-hll", "hllpp",  # comparison baselines (§2.6), spark-only
+            "cpc",  # coupon sketch baseline (§2.6); reports a 6th line
+                    # `cpcEntropyBits` = arithmetic-coder size bound
         ],
     )
     ap.add_argument("datatype", choices=["uint64", "str", "jr"])
@@ -292,6 +326,13 @@ def main(argv=None) -> int:
     p = args.m.bit_length() - 1
     flags = _FLAGS[args.flags]
     data = _read_stdin(args.datatype, args.n, args.length)
+
+    if args.algorithm == "cpc":
+        if args.datatype == "jr":
+            print("cpc does not support jr datatype!", file=sys.stderr)
+            return 1
+        _cpc(args, args.datatype, data, args.mode)
+        return 0
 
     if args.algorithm in ("apache-hll", "hllpp"):
         if args.datatype == "jr":

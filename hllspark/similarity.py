@@ -171,9 +171,13 @@ def lsh_top_k(
         .select(query_id_col, "bb.band", "bb.val")
     )
     cand = c.join(q, ["band", "val"]).select(query_id_col, id_col).distinct()
+    # no explicit broadcast hint on the query vectors: the function imposes
+    # no bound on the query-set size, so let AQE pick broadcast vs shuffle
+    # from the actual size (an unconditional hint OOMs the driver on large
+    # query sets; round-2 advice)
     scored = (
         cand.join(corpus.select(id_col, vec_col), id_col)
-        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+        .join(queries.select(query_id_col, query_vec_col), query_id_col)
         .select(
             query_id_col,
             id_col,

@@ -478,3 +478,10 @@ def test_key_encode_requires_jvm_and_valid_name(spark, events):
         agg.approx_distinct(
             events, "user_id", ["event_type"], key_encode="dict"
         )
+
+
+def test_approx_distinct_multi_explicit_pandas_raises(spark, events):
+    """Explicitly requested impls that don't exist must error loudly, not
+    silently rewrite (round-2 advice)."""
+    with pytest.raises(ValueError, match="no pandas impl"):
+        agg.approx_distinct_multi(events, ["user_id"], impl="pandas")

@@ -95,3 +95,37 @@ def test_apache_hll_baseline():
     rep = _run((n, "uint64", 5), ["query", "apache-hll", "uint64", str(m), str(n)])
     assert abs(rep["estimate"] - n) / n < 0.05
     assert rep["bitsize"] > 0
+
+
+def _run_cpc(gen_args, measure_args):
+    blob = inputgenerator.generate(*gen_args)
+    proc = subprocess.run(
+        [sys.executable, "-m", "hllspark.measure", *measure_args],
+        input=blob,
+        capture_output=True,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    lines = proc.stdout.decode().strip().split("\n")
+    assert [ln.split()[0] for ln in lines] == [
+        "time", "estimate", "bitsize", "compressCount", "rebaseCount",
+        "cpcEntropyBits",
+    ]
+    return {ln.split()[0]: float(ln.split()[1]) for ln in lines}
+
+
+def test_cpc_cli_reports_entropy_bound():
+    """cpc mode: 5-line protocol + cpcEntropyBits (arithmetic-coder size
+    bound, the apples-to-apples column vs DataSketches CPC bitsizes).
+    The bound must be positive, below the dense-matrix ceiling, and below
+    the DEFLATE transport size at sketch-sparse cardinalities."""
+    n, k = 20000, 2048
+    rep = _run_cpc((n, "uint64", 42), ["query", "cpc", "uint64", str(k), str(n)])
+    from hllspark.sketches import cpc
+
+    assert abs(rep["estimate"] / n - 1.0) < 5 * cpc.rse(k)
+    assert 0 < rep["cpcEntropyBits"] < 64 * k
+    assert rep["cpcEntropyBits"] < rep["bitsize"]
+    # merge protocol: merge(A, B) == union-fed build, same report
+    gm = _run_cpc((n, "uint64", 42), ["merge", "cpc", "uint64", str(k), str(n)])
+    assert gm["estimate"] == rep["estimate"]
+    assert gm["cpcEntropyBits"] == rep["cpcEntropyBits"]

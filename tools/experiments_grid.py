@@ -40,7 +40,7 @@ INITIAL_SEED = 0x11E3EA10  # experiments.py:35
 
 SMALL = os.environ.get("HLLSPARK_GRID_SMALL") == "1"
 MODES = ("query", "merge")
-ALGOS = ("hll", "hlll", "hllzstd")
+ALGOS = ("hll", "hlll", "hllzstd", "cpc")
 DTS = ("uint64", "str")
 MS = (1 << 8, 1 << 12) if SMALL else (1 << 10, 1 << 14)
 NS = (1 << 10,) if SMALL else (1 << 12, 1 << 16, 1 << 20)
@@ -79,6 +79,49 @@ def run_grid(spark: SparkSession, out_dir: str) -> list[dict]:
         p = m.bit_length() - 1
         seed += 1  # sequential per instance, experiments.py:41-53
         df = synth(spark, dt, n, seed)
+        if algo == "cpc":
+            # §2.6 coupon-sketch baseline through the same grid protocol;
+            # bitsize = DEFLATE transport bits, entropyBits = the
+            # arithmetic-coder bound (comparable to DataSketches CPC sizes)
+            from hllspark.sketches import cpc as _cpc
+            from hllspark.sketches import generic as _generic
+
+            kind = _cpc.kind(m)
+            if mode == "query":
+                t0 = time.perf_counter()
+                blob = bytes(
+                    _generic.sketch_agg(df, "v", kind).first()["sketch"]
+                )
+                dt_sec = time.perf_counter() - t0
+            else:
+                ids = df.withColumn(
+                    "h", F.pmod(F.xxhash64("v", F.lit(3)), F.lit(2)).cast("int")
+                )
+                halves = _generic.sketch_agg(df=ids, value_col="v", kind=kind,
+                                             keys=["h"]).cache()
+                states = [
+                    _cpc.decode(bytes(r["sketch"])) for r in halves.collect()
+                ]
+                halves.unpersist()
+                t0 = time.perf_counter()
+                st = states[0]
+                for s in states[1:]:
+                    st = _cpc.merge(st, s)
+                blob = _cpc.encode(st)
+                dt_sec = time.perf_counter() - t0
+            st = _cpc.decode(blob)
+            records.append(
+                {
+                    "mode": mode, "algo": algo, "dt": dt, "m": m, "n": n,
+                    "seed": seed, "time": round(dt_sec, 5),
+                    "estimate": _cpc.estimate(st),
+                    "bitsize": 8 * len(blob),
+                    "compressCount": None, "rebaseCount": None,
+                    "entropyBits": _cpc.entropy_bound_bits(st),
+                }
+            )
+            print(json.dumps(records[-1]), file=sys.stderr)
+            continue
         if mode == "query":
             t0 = time.perf_counter()
             row = agg.sketch_by(df, "v", p=p, algo=algo).first()
@@ -110,6 +153,7 @@ def run_grid(spark: SparkSession, out_dir: str) -> list[dict]:
                 "bitsize": _sk.bit_size(blob),
                 "compressCount": None,
                 "rebaseCount": None,
+                "entropyBits": None,
             }
         )
         print(json.dumps(records[-1]), file=sys.stderr)
@@ -118,7 +162,7 @@ def run_grid(spark: SparkSession, out_dir: str) -> list[dict]:
         records,
         "mode string, algo string, dt string, m long, n long, seed long, "
         "time double, estimate double, bitsize long, "
-        "compressCount long, rebaseCount long",
+        "compressCount long, rebaseCount long, entropyBits long",
     )
     rec_df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "measurements.parquet")
