@@ -765,6 +765,30 @@ def approx_distinct_rollup(
     )
 
 
+def approx_distinct_cube(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    p: int = 14,
+    hash_mode: str = "xxhash64",
+    impl: str | None = None,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """CUBE(k1, ..., kn) distinct-count estimates from one base scan: every
+    subset of keys — see approx_distinct_grouping_sets."""
+    from itertools import combinations
+
+    keys = list(keys)
+    sets = [
+        list(c)
+        for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return approx_distinct_grouping_sets(
+        df, value_col, sets, p, hash_mode, impl, estimate_col
+    )
+
+
 def sketch_cube(
     df: DataFrame,
     keys: Sequence[str],

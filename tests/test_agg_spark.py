@@ -485,3 +485,25 @@ def test_approx_distinct_multi_explicit_pandas_raises(spark, events):
     silently rewrite (round-2 advice)."""
     with pytest.raises(ValueError, match="no pandas impl"):
         agg.approx_distinct_multi(events, ["user_id"], impl="pandas")
+
+
+def test_approx_distinct_cube_matches_sketch_cube(spark, events):
+    """Fused one-scan CUBE == two-phase sketch_cube estimates (rel 1e-12
+    for the JVM-vs-numpy log ULP)."""
+    ev = events.withColumn("day", F.to_date("ts"))
+    fused = agg.approx_distinct_cube(
+        ev, "user_id", ["event_type", "day"], p=10
+    ).collect()
+    two_phase = agg.sketch_cube(
+        agg.sketch_by(ev, "user_id", ["event_type", "day"], p=10, impl="sql"),
+        ["event_type", "day"],
+    ).collect()
+
+    def key(r):
+        return (r["grouping_set_id"], str(r["event_type"]), str(r["day"]))
+
+    got = {key(r): r["distinct_estimate"] for r in fused}
+    want = {key(r): r["distinct_estimate"] for r in two_phase}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
