@@ -805,6 +805,57 @@ def _q_rollup_fused_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("grouping_set_id", "event_type")
 
 
+def _q_cube_fused_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Fused one-scan CUBE over (event_type, day): all four grains'
+    estimates from a single base scan (hllspark.agg.approx_distinct_cube,
+    native GROUPING SETS + JVM estimate aggregate), each within the
+    3-sigma bound of its exact distinct count."""
+    ev = _t(spark, sf, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    cube = agg.approx_distinct_cube(ev, "user_id", ["event_type", "day"], p=_P)
+    ex = F.countDistinct("user_id").alias("exact")
+    nul = F.lit(None).cast("string")
+    exact = (
+        ev.groupBy("event_type", "day").agg(ex)
+        .withColumn("grouping_set_id", F.lit(0))
+        .unionByName(
+            ev.groupBy("event_type").agg(ex)
+            .withColumn("day", nul)
+            .withColumn("grouping_set_id", F.lit(1))
+        )
+        .unionByName(
+            ev.groupBy("day").agg(ex)
+            .withColumn("event_type", nul)
+            .withColumn("grouping_set_id", F.lit(2))
+        )
+        .unionByName(
+            ev.agg(ex)
+            .withColumn("event_type", nul)
+            .withColumn("day", nul)
+            .withColumn("grouping_set_id", F.lit(3))
+        )
+    )
+    j = cube.alias("c").join(
+        exact.alias("e"),
+        F.expr(
+            "c.grouping_set_id = e.grouping_set_id"
+            " AND c.event_type <=> e.event_type AND c.day <=> e.day"
+        ),
+    )
+    return j.select(
+        F.col("c.grouping_set_id").alias("grouping_set_id"),
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.day").alias("day"),
+        (
+            (F.abs(F.col("c.distinct_estimate") - F.col("e.exact")) / F.col("e.exact"))
+            <= F.lit(_BOUND)
+        )
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("grouping_set_id", "event_type", "day")
+
+
 def _q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN recall vs brute-force top-5 (deterministic seeded
     hyperplanes); the scale path must recover most true neighbors."""
@@ -1078,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed_top3": _q_ann_ivf_indexed_top3,
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
         "rollup_fused_within_bound": _q_rollup_fused_within_bound,
+        "cube_fused_within_bound": _q_cube_fused_within_bound,
         "hllzstd_within_bound": _q_hllzstd_within_bound,
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
@@ -1220,6 +1272,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type "
             "UNION ALL SELECT 1, CAST(NULL AS VARCHAR), 1 "
             "ORDER BY grouping_set_id, event_type"
+        ),
+        "cube_fused_within_bound": (
+            "SELECT 0 AS grouping_set_id, event_type, "
+            "CAST(CAST(ts AS DATE) AS VARCHAR) AS day, 1 AS within_bound "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL SELECT 1, event_type, CAST(NULL AS VARCHAR), 1 "
+            "FROM events GROUP BY 2 "
+            "UNION ALL SELECT 2, CAST(NULL AS VARCHAR), "
+            "CAST(CAST(ts AS DATE) AS VARCHAR), 1 FROM events GROUP BY 3 "
+            "UNION ALL SELECT 3, CAST(NULL AS VARCHAR), "
+            "CAST(NULL AS VARCHAR), 1 "
+            "ORDER BY grouping_set_id, event_type, day"
         ),
         "hllzstd_within_bound": (
             "SELECT event_type, 1 AS within_bound FROM events "
