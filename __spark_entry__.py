@@ -856,6 +856,49 @@ def _q_cube_fused_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("grouping_set_id", "event_type", "day")
 
 
+def _q_rolling_distinct_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day trailing rolling distinct users per day
+    (hllspark.agg.rolling_distinct: one sketch build per day, exploded
+    register re-merge per window end — ONE base scan for all overlapping
+    windows): each end's estimate within the 3-sigma bound of the exact
+    trailing-window COUNT DISTINCT."""
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    roll = agg.rolling_distinct(ev, "user_id", "ts", 7, p=_P)
+    ends = ev.select("day").distinct().select(F.col("day").alias("window_end"))
+    exact = (
+        ev.join(
+            F.broadcast(ends),
+            (F.col("day") >= F.date_sub(F.col("window_end"), 6))
+            & (F.col("day") <= F.col("window_end")),
+        )
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("exact"))
+    )
+    j = roll.join(exact, "window_end")
+    return j.select(
+        F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
+        (
+            (F.abs(F.col("distinct_estimate") - F.col("exact")) / F.col("exact"))
+            <= F.lit(_BOUND)
+        )
+        .cast("int")
+        .alias("within_bound"),
+    ).orderBy("window_end")
+
+
+def _q_bloom_semi_join_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi-join (hllspark.joins.bloom_semi_join: distributed
+    Bloom over the dim keys, broadcast bitmap probe prunes the fact scan
+    BEFORE its shuffle, exact leftsemi mops up false positives) returns
+    exactly the plain semi-join — checked as the matched-row count."""
+    from hllspark import joins
+
+    ev = _t(spark, sf, "events")
+    dim = ev.where(F.col("event_id") % 7 == 0).select("event_id")
+    semi = joins.bloom_semi_join(ev, "event_id", dim, "event_id", fpp=0.01)
+    return semi.agg(F.count("*").cast("long").alias("n_matched"))
+
+
 def _q_ann_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN recall vs brute-force top-5 (deterministic seeded
     hyperplanes); the scale path must recover most true neighbors."""
@@ -1130,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup_within_bound": _q_sketch_rollup_within_bound,
         "rollup_fused_within_bound": _q_rollup_fused_within_bound,
         "cube_fused_within_bound": _q_cube_fused_within_bound,
+        "rolling_distinct_within_bound": _q_rolling_distinct_within_bound,
+        "bloom_semi_join_exact": _q_bloom_semi_join_exact,
         "hllzstd_within_bound": _q_hllzstd_within_bound,
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
@@ -1284,6 +1329,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 3, CAST(NULL AS VARCHAR), "
             "CAST(NULL AS VARCHAR), 1 "
             "ORDER BY grouping_set_id, event_type, day"
+        ),
+        "rolling_distinct_within_bound": (
+            "SELECT CAST(d AS VARCHAR) AS window_end, 1 AS within_bound "
+            "FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) "
+            "ORDER BY window_end"
+        ),
+        "bloom_semi_join_exact": (
+            "SELECT COUNT(*) AS n_matched FROM events "
+            "WHERE event_id IN (SELECT event_id FROM events "
+            "WHERE event_id % 7 = 0)"
         ),
         "hllzstd_within_bound": (
             "SELECT event_type, 1 AS within_bound FROM events "

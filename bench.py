@@ -177,6 +177,13 @@ def main() -> None:
         "q10_synth_100k_strkeys": lambda: agg.approx_distinct(
             synth_100k, "v", ["gs"], p=12, key_encode="hash64"
         ).count(),
+        # N overlapping event-time windows from ONE base scan: per-day
+        # register build, exploded re-merge per window end (round 3 —
+        # PLANS.md §13 A/B: 5.2x over per-end re-scan at 30 ends, and the
+        # gap grows linearly with #ends)
+        "q11_events_rolling7": lambda: agg.rolling_distinct(
+            events, "user_id", "ts", 7, p=12
+        ).collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))

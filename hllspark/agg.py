@@ -966,6 +966,87 @@ def with_estimate(df: DataFrame, sketch_col: str = _SKETCH_COL,
     return df.withColumn(estimate_col, estimate_udf(F.col(sketch_col)))
 
 
+def rolling_distinct(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    window: int,
+    keys: Sequence[str] | None = None,
+    bucket: str = "day",
+    p: int = 14,
+    hash_mode: str = "xxhash64",
+    impl: str | None = None,
+    estimate_col: str = "distinct_estimate",
+) -> DataFrame:
+    """Trailing-window distinct-count estimates over event time — the
+    "7-day rolling distinct users per day" query — from ONE base scan.
+
+    For every bucket present in the data (per ``keys`` group), estimates
+    distinct ``value_col`` over the ``window`` buckets ending at it
+    (inclusive; head buckets get partial windows, matching SQL
+    ``BETWEEN end - (window-1) AND end`` semantics).  ``bucket`` is
+    'day' or 'hour'; returns DataFrame[keys..., window_end, estimate].
+
+    Plan (merge-reuse, not re-scan): one sketch build per (keys, bucket)
+    grain — the identical bounded build as sketch_by — then each bucket's
+    registers are exploded to the <= ``window`` window-ends they
+    contribute to and re-merged per end (reference merge semantics:
+    HyperLogLog.hpp:124-131 — a window union is a register max, so the
+    base table is scanned once no matter how many windows overlap).  The
+    re-merge shuffle carries at most #groups x #buckets x window m-byte
+    buffers with map-side partial merging; ends that exist in the data
+    are taken from the built grain itself (broadcast semi-join), so no
+    second base scan.  impl='jvm' keeps the whole pipeline zero-Python
+    (raw byte[m] buffers end-to-end); other impls reuse the pandas merge
+    UDAF over serialized sketches."""
+    keys = list(keys or [])
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if bucket == "day":
+        bexpr = F.to_date(F.col(time_col))
+        seq = F.expr(
+            f"sequence(__bucket, date_add(__bucket, {window - 1}))"
+        )
+    elif bucket == "hour":
+        bexpr = F.date_trunc("hour", F.col(time_col))
+        seq = F.expr(
+            f"sequence(__bucket, __bucket + make_interval(0,0,0,0,{window - 1}),"
+            f" interval 1 hour)"
+        )
+    else:
+        raise ValueError(f"unknown bucket {bucket!r} (use 'day' or 'hour')")
+    impl = _resolve_impl(df, hash_mode, impl)
+    _validate(p, "hll", hash_mode, impl)
+    df2 = df.withColumn("__bucket", bexpr)
+    if impl == "jvm":
+        built = _raw_registers_jvm(
+            df2, value_col, [*keys, "__bucket"], p, hash_mode
+        )
+    else:
+        built = sketch_by(
+            df2, value_col, [*keys, "__bucket"], p=p,
+            hash_mode=hash_mode, impl=impl,
+        ).withColumnRenamed(_SKETCH_COL, "__regs")
+    ends = built.select(F.col("__bucket").alias("window_end")).distinct()
+    contrib = built.withColumn("window_end", F.explode(seq)).drop("__bucket")
+    covered = contrib.join(F.broadcast(ends), "window_end", "leftsemi")
+    grouped = covered.groupBy(*keys, "window_end")
+    if impl == "jvm":
+        from . import jvmagg
+
+        out = grouped.agg(
+            jvmagg.merge_est_agg_column(df.sparkSession, p, "__regs").alias(
+                estimate_col
+            )
+        )
+    else:
+        merge = merge_udaf("hll", 3)
+        out = grouped.agg(merge(F.col("__regs")).alias("__regs")).withColumn(
+            estimate_col, estimate_udf(F.col("__regs"))
+        ).drop("__regs")
+    return out.orderBy(*keys, "window_end")
+
+
 def overlap_udf():
     """Set-operation estimates from two sketch columns (Arrow-batched):
     union native via register max; intersection by inclusion-exclusion

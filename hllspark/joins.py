@@ -1,0 +1,116 @@
+"""Sketch-accelerated join pruning: Bloom semi-join for shuffle reduction.
+
+At warehouse scale the expensive part of `fact JOIN dim` is shuffling the
+fact side; when the join is selective, most shuffled fact rows never find
+a partner.  ``bloom_prune`` builds a Bloom filter over the dim keys with
+the engine's own distributed mergeable Bloom (sketches/bloom.py — the
+reference's add-entry hash chain, Hash.hpp:22-30, so the filter is
+byte-compatible with every other Bloom in the library) and filters the
+fact side BEFORE its shuffle:
+
+  scan(dim) -> per-partition Bloom partials -> OR-merge to ONE bitmap
+  (m/8 bytes, bounded by fpp target, independent of fact size)
+  -> broadcast -> Arrow-batched probe on the fact scan.
+
+No false negatives (every real match survives), false positives bounded
+by ``fpp``, so `bloom_prune -> exact join` returns exactly the join
+result while shuffling only ~(selectivity + fpp) of the fact table.
+This is the user-controlled analogue of Spark's runtime row-level
+filtering, usable where AQE can't inject one (pre-aggregated inputs,
+non-equi follow-up logic, or a filter side that is itself the output of
+a sketch pipeline).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .sketches import bloom
+from .sketches.generic import sketch_agg
+
+
+def build_bloom(
+    filter_df: DataFrame,
+    filter_key: str,
+    fpp: float = 0.01,
+    n_expected: int | None = None,
+) -> bytes:
+    """One serialized Bloom filter over ``filter_df[filter_key]``, built
+    distributed (partial bitmaps OR-merged; one m/8-byte row per partition
+    crosses the wire).  ``n_expected`` defaults to a COUNT of the filter
+    side — one cheap pass over the SMALL side that sizes the filter for
+    the requested false-positive rate."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    if n_expected is None:
+        n_expected = filter_df.where(F.col(filter_key).isNotNull()).count()
+    if n_expected <= 0:
+        return b""
+    m_bits, k = bloom.params_for(n_expected, fpp)
+    row = sketch_agg(filter_df, filter_key, bloom.kind(m_bits, k)).first()
+    return bytes(row["sketch"])
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    filter_df: DataFrame | None = None,
+    filter_key: str | None = None,
+    fpp: float = 0.01,
+    n_expected: int | None = None,
+    prebuilt: bytes | None = None,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` MIGHT appear in
+    ``filter_df[filter_key]`` — a superset of the exact semi-join
+    (no false negatives; false positives <= ~fpp).  Null keys are dropped
+    (SQL join semantics: NULL never matches).
+
+    Pass ``prebuilt`` (from ``build_bloom``) to reuse one filter across
+    several prunes or a stream.  The probe is a single Arrow-batched
+    vectorized pass with the bitmap broadcast once per executor; nothing
+    about the fact side is collected or shuffled."""
+    if prebuilt is None:
+        if filter_df is None or filter_key is None:
+            raise ValueError("need filter_df+filter_key or prebuilt")
+        prebuilt = build_bloom(filter_df, filter_key, fpp, n_expected)
+    out = df.where(F.col(key_col).isNotNull())
+    if not prebuilt:  # empty filter side: nothing can match
+        return out.limit(0)
+    bc = df.sparkSession.sparkContext.broadcast(prebuilt)
+    cache: dict = {}
+
+    @F.pandas_udf("boolean")
+    def _probe(s: pd.Series) -> pd.Series:
+        if "bk" not in cache:  # decode once per python worker, not per batch
+            cache["bk"] = bloom.decode(bc.value)
+        bits, k = cache["bk"]
+        return pd.Series(bloom.might_contain(bits, s.to_numpy(), k))
+
+    return out.where(_probe(F.col(key_col)))
+
+
+def bloom_semi_join(
+    df: DataFrame,
+    key_col: str,
+    filter_df: DataFrame,
+    filter_key: str,
+    fpp: float = 0.01,
+    n_expected: int | None = None,
+) -> DataFrame:
+    """EXACT semi-join with Bloom pre-pruning: ``bloom_prune`` removes
+    ~(1 - selectivity - fpp) of ``df`` before the shuffle, then a real
+    left-semi join removes the Bloom's false positives.  Result is
+    identical to ``df.join(filter_df, on, 'leftsemi')``; only the pruned
+    remainder is shuffled."""
+    pruned = bloom_prune(df, key_col, filter_df, filter_key, fpp, n_expected)
+    dim = filter_df.select(F.col(filter_key).alias(key_col)).distinct()
+    return pruned.join(dim, key_col, "leftsemi")
+
+
+def estimated_fpp(n: int, m_bits: int, k: int) -> float:
+    """Published Bloom false-positive probability after n inserts."""
+    return (1.0 - math.exp(-k * n / m_bits)) ** k

@@ -507,3 +507,66 @@ def test_approx_distinct_cube_matches_sketch_cube(spark, events):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+def test_rolling_distinct_matches_exact_window(spark, events):
+    """7-day trailing rolling distinct: sketch merge-reuse plan equals the
+    exact windowed COUNT DISTINCT within the 3-sigma bound, one row per
+    day present in the data (partial head windows included)."""
+    p = 12
+    bound = 3 * 1.04 / (1 << (p // 2))
+    got = {
+        r["window_end"]: r["distinct_estimate"]
+        for r in agg.rolling_distinct(events, "user_id", "ts", 7, p=p).collect()
+    }
+    ev = events.withColumn("day", F.to_date("ts"))
+    ends = [r["day"] for r in ev.select("day").distinct().collect()]
+    assert set(got) == set(ends)
+    exact = {
+        e: ev.where(
+            (F.col("day") >= F.date_sub(F.lit(e), 6)) & (F.col("day") <= F.lit(e))
+        )
+        .select(F.countDistinct("user_id"))
+        .first()[0]
+        for e in ends
+    }
+    for e in ends:
+        assert abs(got[e] - exact[e]) / exact[e] <= bound, e
+
+
+def test_rolling_distinct_impls_agree(spark, events):
+    """jvm (raw-register, zero-Python) and sql (serialized sketch + pandas
+    merge) rolling paths produce identical estimates — same registers,
+    same estimator."""
+    a = agg.rolling_distinct(events, "user_id", "ts", 3, p=10, impl="jvm")
+    b = agg.rolling_distinct(events, "user_id", "ts", 3, p=10, impl="sql")
+    ra = {r["window_end"]: r["distinct_estimate"] for r in a.collect()}
+    rb = {r["window_end"]: r["distinct_estimate"] for r in b.collect()}
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert ra[k] == pytest.approx(rb[k], rel=1e-12)
+
+
+def test_rolling_distinct_grouped_hour_bucket(spark, events):
+    """Grouped rolling window at hour grain: window=1 degenerates to plain
+    per-(key, hour) distinct — cross-checked against approx_distinct."""
+    rolled = agg.rolling_distinct(
+        events, "user_id", "ts", 1, keys=["event_type"], bucket="hour", p=10
+    )
+    base = agg.approx_distinct(
+        events.withColumn("__h", F.date_trunc("hour", F.col("ts"))),
+        "user_id",
+        ["event_type", "__h"],
+        p=10,
+    )
+    ra = {
+        (r["event_type"], r["window_end"]): r["distinct_estimate"]
+        for r in rolled.collect()
+    }
+    rb = {
+        (r["event_type"], r["__h"]): r["distinct_estimate"]
+        for r in base.collect()
+    }
+    assert ra.keys() == rb.keys()
+    for k in ra:
+        assert ra[k] == pytest.approx(rb[k], rel=1e-12)
