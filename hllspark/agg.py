@@ -1027,6 +1027,12 @@ def rolling_distinct(
             df2, value_col, [*keys, "__bucket"], p=p,
             hash_mode=hash_mode, impl=impl,
         ).withColumnRenamed(_SKETCH_COL, "__regs")
+    # The window-end list is derived from the built grain itself, which
+    # Spark executes as a separate job to plan the broadcast; persist the
+    # (tiny: #groups x #buckets sketch rows) built table so the base scan
+    # runs once and the broadcast job reads the cached result (Spark's
+    # ContextCleaner evicts the block once the plan is unreachable).
+    built = built.persist()
     ends = built.select(F.col("__bucket").alias("window_end")).distinct()
     contrib = built.withColumn("window_end", F.explode(seq)).drop("__bucket")
     covered = contrib.join(F.broadcast(ends), "window_end", "leftsemi")

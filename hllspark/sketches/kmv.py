@@ -80,6 +80,19 @@ def intersection_estimate(a, b) -> float:
     return jaccard(a, b) * estimate(u)
 
 
+def difference_estimate(a, b) -> float:
+    """|A \\ B| ≈ (fraction of the union's k smallest that are in A only)
+    * |A ∪ B| — same union-sample argument as jaccard (Beyer et al. §5);
+    the set difference HLL cannot express without inclusion-exclusion
+    error blowup."""
+    u = merge(a, b)
+    _, mu = u
+    if len(mu) == 0:
+        return 0.0
+    only_a = np.isin(mu, a[1]) & ~np.isin(mu, b[1])
+    return float(np.count_nonzero(only_a)) / len(mu) * estimate(u)
+
+
 def encode(state) -> bytes:
     k, mins = state
     return _MAGIC + struct.pack("<II", k, len(mins)) + mins.astype("<u8").tobytes()

@@ -410,6 +410,26 @@ class TestKMV:
         assert abs(j - 1 / 3) < 0.05
         inter = kmv.intersection_estimate(A, B)
         assert abs(inter - 30000) / 30000 < 0.1
+        diff = kmv.difference_estimate(A, B)   # true |A \ B| ~ 30000
+        assert abs(diff - 30000) / 30000 < 0.1
+        # difference is asymmetric and the three parts partition the union
+        dba = kmv.difference_estimate(B, A)
+        total = diff + dba + inter
+        union = kmv.estimate(kmv.merge(A, B))
+        assert total == pytest.approx(union, rel=1e-9)
+
+    def test_difference_disjoint_and_subset(self):
+        from hllspark.sketches import kmv
+
+        a = np.arange(5000, dtype=np.uint64)
+        b = np.arange(5000, 10000, dtype=np.uint64)
+        A = kmv.update(kmv.zero(4096), a)
+        B = kmv.update(kmv.zero(4096), b)
+        # subset: A \ A = 0 exactly
+        assert kmv.difference_estimate(A, A) == 0.0
+        # disjoint: |A \ B| ~ |A|
+        d = kmv.difference_estimate(A, B)
+        assert abs(d - 5000) / 5000 < 0.1
 
     def test_round_trip(self):
         from hllspark.sketches import kmv
