@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from hllspark import agg, dedup
+from hllspark import agg, dedup, joins
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -97,6 +97,14 @@ def main() -> None:
             F.lit("hostkey_"), (F.col("id") % 100_000).cast("string")
         ).alias("gs"),
     )
+
+    # selective dim side for the Bloom-pruned semi-join (~20% of orders)
+    urgent_orders = (
+        t("orders").where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .cache()
+    )
+    urgent_orders.count()
 
     # north-rule input shape: Common-Crawl-style pages (url, warc_ts, html,
     # text, lang).  Materialized to parquet ONCE, untimed — the reference
@@ -184,6 +192,12 @@ def main() -> None:
         "q11_events_rolling7": lambda: agg.rolling_distinct(
             events, "user_id", "ts", 7, p=12
         ).collect(),
+        # Bloom semi-join pruning: distributed Bloom over the selective dim
+        # side probes the fact scan before its shuffle (round 3 — PLANS.md
+        # §14; exact result, only ~(selectivity+fpp) of the fact shuffles)
+        "q12_bloom_semijoin": lambda: joins.bloom_semi_join(
+            lineitem, "l_orderkey", urgent_orders, "o_orderkey", fpp=0.01
+        ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
