@@ -1153,8 +1153,100 @@ def _q_bloom_no_false_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (4h gap) over events: per-session event
+    count and duration — one shuffle on user_id, lag + running-sum window,
+    zero Python (hllspark/sessions.py)."""
+    from hllspark import sessions
+
+    ev = _t(spark, sf, "events")
+    return (
+        sessions.session_stats(ev, "user_id", "ts", 14400.0, order_cols=["event_id"])
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "duration_us",
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def _q_hash_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Bernoulli sample (rate 0.2, seed 7) of documents by
+    md5 key hash — engine-portable, shuffle-free (hllspark/sampling.py);
+    the oracle reproduces the EXACT membership with vanilla SQL."""
+    from hllspark import sampling
+
+    docs = _t(spark, sf, "documents")
+    return (
+        sampling.hash_sample(docs, ["doc_id"], 0.2, seed=7, method="md5")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ceil(0.1 * n) rows per lang stratum, chosen by md5 hash order
+    of doc_id — deterministic stratified sampling (hllspark/sampling.py)."""
+    from hllspark import sampling
+
+    docs = _t(spark, sf, "documents")
+    return (
+        sampling.stratified_sample(docs, ["lang"], "doc_id", 0.1, seed=3)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _q_cm_join_size_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min inner-product join-cardinality estimate (Cormode &
+    Muthukrishnan '05) for the events self-join on user_id: never below
+    the exact size, above by at most (e/width)*|A|*|B| (hllspark/joins.py
+    approx_join_size — planner-style estimation without running the join)."""
+    import math
+
+    from hllspark import joins as hjoins
+
+    ev = _t(spark, sf, "events")
+    width = 8209
+    est = hjoins.approx_join_size(ev, "user_id", ev, "user_id", width=width, depth=7)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = per_key.agg(F.sum(F.col("c") * F.col("c")).alias("s")).first()["s"]
+    n = ev.count()
+    ok = int(exact <= est <= exact + math.e / width * n * n)
+    return spark.createDataFrame(
+        [(int(exact), ok)], "exact_join_size bigint, within_bound int"
+    )
+
+
+def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval n-gram decontamination (hllspark/decontam.py): trigram
+    overlap of every train doc (doc_id < 200) against an eval slice that
+    is an exact copy of train docs 100-149 — those must report ratio 1.0
+    and contaminated=1; Bloom-pruned hash join on xxhash64(gram)."""
+    from hllspark import decontam
+
+    docs = _t(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") < 200)
+    test = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    rep = decontam.ngram_overlap(train, test, "doc_id", "text", n=3, threshold=0.8)
+    return rep.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        F.round("overlap_ratio", 4).alias("overlap_ratio"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "session_stats_events": _q_session_stats_events,
+        "hash_sample_docs": _q_hash_sample_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "cm_join_size_within_bound": _q_cm_join_size_within_bound,
+        "decontam_overlap": _q_decontam_overlap,
         "streaming_users_within_bound": _q_streaming_users_within_bound,
         "tdigest_median_within_tol": _q_tdigest_median_within_tol,
         "kll_rank_error": _q_kll_rank_error,
@@ -1223,6 +1315,66 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {v})" for i, v in enumerate(_goldens_i64.values())
     )
     return {
+        "session_stats_events": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id "
+            "FROM events), "
+            "f AS (SELECT user_id, us, event_id, CASE WHEN lag(us) OVER w "
+            "IS NULL OR us - lag(us) OVER w > 14400000000 THEN 1 ELSE 0 END "
+            "AS is_new FROM o "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "s AS (SELECT user_id, us, sum(is_new) OVER (PARTITION BY "
+            "user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS seq FROM f) "
+            "SELECT user_id, CAST(seq AS BIGINT) AS session_seq, "
+            "count(*) AS n_events, "
+            "CAST(max(us) - min(us) AS BIGINT) AS duration_us "
+            "FROM s GROUP BY user_id, seq ORDER BY user_id, session_seq"
+        ),
+        "hash_sample_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), "
+            "'7')), 1, 8) < '33333333' ORDER BY doc_id"
+        ),
+        "stratified_sample_docs": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY substring(md5(concat_ws(chr(31), "
+            "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
+            "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
+            "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "cm_join_size_within_bound": (
+            "SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size, "
+            "1 AS within_bound FROM "
+            "(SELECT count(*) AS c FROM events GROUP BY user_id)"
+        ),
+        "decontam_overlap": (
+            "WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), "
+            "'\\s+') AS w FROM documents WHERE doc_id < 200), "
+            "trg AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+            ")) AS g FROM tr WHERE len(w) >= 3), "
+            "teg AS (SELECT DISTINCT unnest(list_distinct("
+            "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
+            ")) AS g FROM (SELECT regexp_split_to_array(trim(text), '\\s+') "
+            "AS w FROM documents WHERE doc_id >= 100 AND doc_id < 150) "
+            "WHERE len(w) >= 3), "
+            "tot AS (SELECT doc_id, count(*) AS n_grams FROM trg "
+            "GROUP BY doc_id), "
+            "m AS (SELECT doc_id, count(*) AS n_matched FROM trg "
+            "WHERE g IN (SELECT g FROM teg) GROUP BY doc_id) "
+            "SELECT b.doc_id, coalesce(t.n_grams, 0) AS n_grams, "
+            "coalesce(m.n_matched, 0) AS n_matched, "
+            "round(CASE WHEN coalesce(t.n_grams, 0) > 0 THEN "
+            "coalesce(m.n_matched, 0) * 1.0 / t.n_grams ELSE 0.0 END, 4) "
+            "AS overlap_ratio, "
+            "CASE WHEN coalesce(t.n_grams, 0) > 0 AND "
+            "coalesce(m.n_matched, 0) * 1.0 / t.n_grams >= 0.8 "
+            "THEN 1 ELSE 0 END AS contaminated "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) b "
+            "LEFT JOIN tot t USING (doc_id) LEFT JOIN m USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
         "streaming_users_within_bound": (
             "SELECT event_type, 1 AS within_bound FROM events "
             "GROUP BY event_type ORDER BY event_type"

@@ -1,0 +1,137 @@
+"""Train/eval decontamination: word n-gram overlap between two corpora.
+
+The standard LLM-pipeline check (GPT-3 appendix C, PaLM §8, Dolma):
+an eval document "contaminates" a training document when a large
+fraction of the training doc's word n-grams also occur anywhere in the
+eval set.  This module computes, for every train doc, the fraction of
+its distinct n-grams that appear in the eval corpus, entirely with JVM
+built-ins (split / transform / slice / explode — no Python on the data
+path).
+
+Plan shape, designed for train >> eval (the usual case at 100 TB):
+
+  train scan -> ngrams (codegen) -> explode -> distinct per doc
+     -> [Bloom prune on eval-ngram filter: drops ~all non-matching
+         grams BEFORE the shuffle]                  <- the scale lever
+     -> hash-join on the 64-bit ngram hash vs distinct eval grams
+     -> per-doc matched count / total count
+
+The join keys are xxhash64(ngram) (8 bytes instead of the gram text —
+5-10x less shuffle; collision probability ~G^2/2^65, negligible at any
+real gram cardinality; pass ``key='text'`` for the collision-free
+variant).  The eval side is deduplicated once and is typically small
+enough that the Bloom filter (built with the engine's own distributed
+mergeable Bloom) removes almost every unmatched train gram at the scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from . import joins
+
+
+def ngram_col(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) of a text column; empty
+    array when the text has fewer than n whitespace tokens.  Pure codegen
+    (split / sequence / transform / slice)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    words = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) — DISTINCT word n-grams per document, exploded."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(ngram_col(F.col(text_col), n))).alias("gram"),
+        )
+    )
+
+
+def ngram_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.8,
+    key: str = "hash",
+    bloom_fpp: float | None = 0.001,
+) -> DataFrame:
+    """Per-train-document eval-set overlap:
+    (id, n_grams, n_matched, overlap_ratio, contaminated).
+
+    ``overlap_ratio`` = |distinct train-doc n-grams found anywhere in the
+    eval corpus| / |distinct train-doc n-grams| (0.0 for docs shorter
+    than n words); ``contaminated`` = ratio >= threshold.
+
+    ``bloom_fpp``: build a Bloom filter over the eval grams and prune the
+    (huge) train gram stream before its shuffle — exact result regardless
+    (the real join still runs); None disables.  ``key='hash'`` joins on
+    xxhash64(gram) (small shuffle, astronomically unlikely collisions);
+    ``key='text'`` joins on the gram itself."""
+    if key not in ("hash", "text"):
+        raise ValueError("key must be 'hash' or 'text'")
+    tr = doc_ngrams(train, id_col, text_col, n)
+    te = doc_ngrams(test, id_col, text_col, n).select("gram")
+    if key == "hash":
+        tr = tr.select("id", F.xxhash64("gram").alias("g"))
+        te = te.select(F.xxhash64("gram").alias("g"))
+    else:
+        tr = tr.select("id", F.col("gram").alias("g"))
+        te = te.select(F.col("gram").alias("g"))
+    te = te.distinct()
+
+    totals = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    probe = tr
+    if bloom_fpp is not None:
+        probe = joins.bloom_prune(tr, "g", te, "g", fpp=bloom_fpp)
+    matched = (
+        probe.join(te, "g", "leftsemi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    base = train.select(F.col(id_col).alias("id")).distinct()
+    ratio = F.when(
+        F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+        F.coalesce(F.col("n_matched"), F.lit(0))
+        / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(totals, "id", "left")
+        .join(matched, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            ratio.alias("overlap_ratio"),
+            (ratio >= F.lit(threshold)).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Training rows whose eval overlap is below ``threshold`` — the
+    filtered corpus, original schema preserved.  Contaminated ids are
+    removed via a broadcast-friendly left-anti join on the id."""
+    rep = ngram_overlap(train, test, id_col, text_col, n, threshold, **kw)
+    bad = rep.where(F.col("contaminated") == 1).select(F.col(id_col))
+    return train.join(bad, id_col, "left_anti")

@@ -111,6 +111,37 @@ def bloom_semi_join(
     return pruned.join(dim, key_col, "leftsemi")
 
 
+def approx_join_size(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    width: int = 8209,
+    depth: int = 7,
+) -> float:
+    """Estimated row count of ``df_a JOIN df_b ON key_a = key_b`` WITHOUT
+    running the join — the count-min inner-product estimator (Cormode &
+    Muthukrishnan 2005): build one CM frequency sketch per side (two
+    parallel scans, partial tables merged map-side; depth*width int64
+    cells cross the wire per partition, independent of input size), then
+    min-of-row-dot-products on the two bounded tables.
+
+    Guarantee: true <= estimate <= true + (e/width) * |A| * |B| with
+    probability 1 - e^-depth.  Use it to pick a join strategy (broadcast
+    vs shuffle vs pre-aggregate) before paying for the join itself —
+    planner-style cardinality estimation as a user-level primitive."""
+    from .sketches import countmin
+
+    kind = countmin.kind(width, depth)
+    sk_a = sketch_agg(df_a.where(F.col(key_a).isNotNull()), key_a, kind).first()
+    sk_b = sketch_agg(df_b.where(F.col(key_b).isNotNull()), key_b, kind).first()
+    if sk_a is None or sk_b is None or sk_a["sketch"] is None or sk_b["sketch"] is None:
+        return 0.0
+    cm_a = countmin.decode(bytes(sk_a["sketch"]))
+    cm_b = countmin.decode(bytes(sk_b["sketch"]))
+    return float(countmin.inner_product(cm_a, cm_b))
+
+
 def estimated_fpp(n: int, m_bits: int, k: int) -> float:
     """Published Bloom false-positive probability after n inserts."""
     return (1.0 - math.exp(-k * n / m_bits)) ** k

@@ -1,0 +1,135 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across retries,
+partitioning changes, and engines — useless for dataset curation where a
+sample must be re-derivable byte-for-byte months later.  Everything here
+keys the decision on a HASH of the row's stable key, so the same row makes
+the same decision on any cluster, any partitioning, any engine:
+
+- ``hash_sample``    — Bernoulli(rate) by key hash.  No shuffle, no sort:
+                       a pure filter pushed into the scan stage; the scale
+                       path for sampling 100 TB.
+- ``stratified_sample`` — EXACT ``ceil(rate * n_g)`` rows per stratum,
+                       chosen by hash order (deterministic "random").
+                       One shuffle on the strata; per-stratum window sort,
+                       so intended for bounded strata (languages, sources,
+                       shards) — for huge uniform strata use hash_sample.
+
+Two hash backends:
+
+- ``method='xxhash64'`` (default): JVM codegen ``xxhash64`` — fastest,
+  zero Python, whole-stage-codegen inline.
+- ``method='md5'``: portable across engines that agree on MD5 (Spark,
+  DuckDB, Trino, Postgres…) — the decision is a lexicographic compare of
+  the first 8 hex chars against a threshold, so an external system can
+  reproduce the exact sample membership with vanilla SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# separator for multi-column keys: ASCII unit separator, vanishingly rare
+# in real keys and identical in any engine's concat_ws
+_SEP = "\x1f"
+
+
+def _md5_hex8(cols: list[Column], seed: int) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws(_SEP, *[c.cast("string") for c in cols], F.lit(str(seed)))),
+        1,
+        8,
+    )
+
+
+def md5_threshold(rate: float) -> str:
+    """8-hex-digit threshold such that P(md5_prefix < thr) == rate (to
+    1/2^32).  Exposed so oracles/tests can embed the same literal."""
+    return format(min(int(rate * 2**32), 2**32 - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    rate: float,
+    seed: int = 0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key_cols``.
+
+    Pure filter — no shuffle, no state; rows with equal keys always agree
+    (so sampling by document id keeps or drops ALL copies of a doc, the
+    property train/eval splits need).  Disjoint seeds give independent
+    samples of the same data."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    cols = [F.col(c) for c in key_cols]
+    if rate >= 1.0:
+        return df
+    if method == "xxhash64":
+        # pmod maps the signed hash into [0, 2^32); compare vs rate scaled
+        bucket = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2**32))
+        return df.where(bucket < F.lit(int(rate * 2**32)))
+    if method == "md5":
+        return df.where(_md5_hex8(cols, seed) < F.lit(md5_threshold(rate)))
+    raise ValueError(f"unknown method {method!r}")
+
+
+def split(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    weights: list[float],
+    seed: int = 0,
+) -> list[DataFrame]:
+    """Deterministic disjoint partition of ``df`` into len(weights) splits
+    (e.g. train/val/test) by key hash — unlike ``randomSplit`` the
+    assignment is stable across runs and partitionings, and a given key
+    always lands in the same split."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    total = sum(weights)
+    if total <= 0 or any(w < 0 for w in weights):
+        raise ValueError("weights must be non-negative with positive sum")
+    cols = [F.col(c) for c in key_cols]
+    bucket = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(2**32))
+    bounds, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        bounds.append(int(acc * 2**32))
+    bounds[-1] = 2**32  # close the last split despite float rounding
+    out, lo = [], 0
+    for hi in bounds:
+        out.append(df.where((bucket >= F.lit(lo)) & (bucket < F.lit(hi))))
+        lo = hi
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str] | str,
+    key_col: str,
+    rate: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``ceil(rate * n_g)`` rows from every stratum g, selected by
+    md5 hash order of ``key_col`` (deterministic, engine-portable).
+
+    One shuffle (on the strata); within each stratum a window sort by the
+    hash — use for bounded-cardinality strata where per-group exactness
+    matters; for huge strata prefer :func:`hash_sample` (no sort)."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError("rate must be in [0, 1]")
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    h = _md5_hex8([F.col(key_col)], seed)
+    w_rank = Window.partitionBy(*strata_cols).orderBy(h, F.col(key_col))
+    w_all = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__take", F.ceil(F.count(F.lit(1)).over(w_all) * F.lit(rate)))
+        .where(F.col("__rn") <= F.col("__take"))
+        .drop("__rn", "__take")
+    )

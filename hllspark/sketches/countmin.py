@@ -90,6 +90,19 @@ def point_estimate(cm: np.ndarray, values) -> np.ndarray:
     return ests.min(axis=0)
 
 
+def inner_product(a: np.ndarray, b: np.ndarray) -> int:
+    """Join-size / inner-product estimate (Cormode & Muthukrishnan 2005,
+    §4.2): min over rows of dot(a_i, b_i).  Never under-estimates the true
+    inner product sum_x f_a(x) * f_b(x); over-estimates by at most
+    eps * N_a * N_b with probability 1 - delta (eps = e/width,
+    delta = e^-depth).  The true inner product of two frequency vectors
+    IS the equi-join output size — this is the classic sketch-based join
+    cardinality estimator."""
+    if a.shape != b.shape:
+        raise ValueError("count-min shape mismatch")
+    return int((a.astype(np.int64) * b.astype(np.int64)).sum(axis=1).min())
+
+
 def encode(cm: np.ndarray) -> bytes:
     depth, width = cm.shape
     return _MAGIC + struct.pack("<II", depth, width) + cm.astype("<i8").tobytes()

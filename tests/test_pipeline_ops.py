@@ -1,0 +1,214 @@
+"""Sessionization, deterministic sampling, CM join-size estimation, and
+train/eval decontamination (round-3 pipeline operators)."""
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark import decontam, joins, sampling, sessions
+from tests.conftest import SF_TEST
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_TEST}/events.parquet")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_TEST}/documents.parquet")
+
+
+# ---------------------------------------------------------------- sessions
+
+
+def test_sessionize_splits_on_gap(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events 10s apart, then a 2h hole, then 2 more
+        (1, base, 1),
+        (1, base + dt.timedelta(seconds=10), 2),
+        (1, base + dt.timedelta(seconds=20), 3),
+        (1, base + dt.timedelta(hours=2), 4),
+        (1, base + dt.timedelta(hours=2, seconds=5), 5),
+        # user 2: single event
+        (2, base, 6),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, eid long")
+    out = sessions.sessionize(df, "user", "ts", 1800.0, order_cols=["eid"])
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+
+
+def test_session_stats_counts_and_duration(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1),
+        (1, base + dt.timedelta(seconds=90), 2),
+        (1, base + dt.timedelta(hours=3), 3),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp, eid long")
+    st = {
+        (r["user"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in sessions.session_stats(df, "user", "ts", 1800.0).collect()
+    }
+    assert st == {(1, 1): (2, 90_000_000), (1, 2): (1, 0)}
+
+
+def test_session_count_matches_max_seq(spark):
+    ev = _events(spark)
+    sc = sessions.session_count(ev, "user_id", "ts", 14400.0, ["event_id"])
+    st = sessions.session_stats(ev, "user_id", "ts", 14400.0, ["event_id"])
+    a = {r["user_id"]: r["n_sessions"] for r in sc.collect()}
+    b = (
+        st.groupBy("user_id")
+        .agg(F.max("session_seq").alias("m"), F.sum("n_events").alias("n"))
+        .collect()
+    )
+    total = ev.count()
+    assert sum(r["n"] for r in b) == total  # every event in exactly 1 session
+    assert a == {r["user_id"]: r["m"] for r in b}
+
+
+def test_sessionize_rejects_bad_gap(spark):
+    with pytest.raises(ValueError):
+        sessions.sessionize(_events(spark), "user_id", "ts", 0)
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark)
+    a = sorted(
+        r["doc_id"]
+        for r in sampling.hash_sample(docs, "doc_id", 0.3, seed=1)
+        .select("doc_id")
+        .collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(13), "doc_id", 0.3, seed=1)
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    n = docs.count()
+    # Bernoulli(0.3): loose 5-sigma band
+    sd = math.sqrt(n * 0.3 * 0.7)
+    assert abs(len(a) - 0.3 * n) < 5 * sd
+
+
+def test_hash_sample_methods_rate_edges(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    assert sampling.hash_sample(docs, "doc_id", 1.0).count() == n
+    assert sampling.hash_sample(docs, "doc_id", 0.0).count() == 0
+    m = sampling.hash_sample(docs, "doc_id", 0.5, seed=2, method="md5").count()
+    assert 0 < m < n
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, "doc_id", 0.5, method="sha9000")
+
+
+def test_split_is_disjoint_partition(spark):
+    docs = _docs(spark)
+    parts = sampling.split(docs, "doc_id", [0.8, 0.1, 0.1], seed=4)
+    ids = [set(r["doc_id"] for r in p.select("doc_id").collect()) for p in parts]
+    assert sum(len(s) for s in ids) == docs.count()
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    # stable across recomputation
+    again = sampling.split(docs, "doc_id", [0.8, 0.1, 0.1], seed=4)
+    assert set(r["doc_id"] for r in again[1].select("doc_id").collect()) == ids[1]
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    docs = _docs(spark)
+    rate = 0.2
+    got = (
+        sampling.stratified_sample(docs, "lang", "doc_id", rate, seed=5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {
+        r["lang"]: math.ceil(r["n"] * rate)
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["lang"]: r["n"] for r in got} == want
+
+
+# ------------------------------------------------------------- join size
+
+
+def test_approx_join_size_bounds(spark):
+    ev = _events(spark)
+    width, depth = 8209, 7
+    est = joins.approx_join_size(ev, "user_id", ev, "user_id", width, depth)
+    per = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    exact = per.agg(F.sum(F.col("c") * F.col("c"))).first()[0]
+    n = ev.count()
+    assert exact <= est <= exact + math.e / width * n * n
+
+
+def test_approx_join_size_empty_side(spark):
+    ev = _events(spark)
+    assert joins.approx_join_size(ev.limit(0), "user_id", ev, "user_id") == 0.0
+
+
+def test_inner_product_exact_when_wide(spark):
+    # width >> distinct keys: no collisions, estimate is exact
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i % 3,) for i in range(60)], "k long")
+    est = joins.approx_join_size(a, "k", b, "k", width=50021, depth=5)
+    exact = a.join(b, "k").count()
+    assert est == float(exact)
+
+
+# -------------------------------------------------------------- decontam
+
+
+def test_ngram_overlap_planted_copies(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "completely different words entirely here now"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    test = spark.createDataFrame([rows[0]], "doc_id long, text string")
+    rep = {
+        r["doc_id"]: (r["overlap_ratio"], r["contaminated"])
+        for r in decontam.ngram_overlap(
+            train, test, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    assert rep[0] == (1.0, 1)
+    assert rep[1][1] == 0 and rep[2][1] == 0
+
+
+def test_ngram_overlap_short_doc_zero_ratio(spark):
+    train = spark.createDataFrame([(0, "too short")], "doc_id long, text string")
+    test = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+    r = decontam.ngram_overlap(train, test, "doc_id", "text", n=3).first()
+    assert (r["n_grams"], r["overlap_ratio"], r["contaminated"]) == (0, 0.0, 0)
+
+
+def test_ngram_overlap_key_modes_agree(spark):
+    docs = _docs(spark)
+    train = docs.where(F.col("doc_id") < 40)
+    test = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    kw = dict(n=3, threshold=0.8, bloom_fpp=None)
+    h = decontam.ngram_overlap(train, test, "doc_id", "text", key="hash", **kw)
+    t = decontam.ngram_overlap(train, test, "doc_id", "text", key="text", **kw)
+    assert sorted(map(tuple, h.collect())) == sorted(map(tuple, t.collect()))
+
+
+def test_decontaminate_removes_contaminated(spark):
+    docs = _docs(spark)
+    train = docs.where(F.col("doc_id") < 50)
+    test = docs.where(F.col("doc_id") < 10)
+    kept = decontam.decontaminate(train, test, "doc_id", "text", n=3)
+    kept_ids = set(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert kept_ids.isdisjoint(set(range(10)))
+    assert kept.columns == train.columns
