@@ -1199,6 +1199,21 @@ def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, hllspark/sampling.py): 100 docs drawn with probability
+    proportional to n_chars — the oracle reproduces the EXACT draw because
+    the priority (-ln(md5-uniform)/weight) is engine-bit-identical."""
+    from hllspark import sampling
+
+    docs = _t(spark, sf, "documents")
+    return (
+        sampling.weighted_sample(docs, "doc_id", "n_chars", 100, seed=11)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_cm_join_size_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min inner-product join-cardinality estimate (Cormode &
     Muthukrishnan '05) for the events self-join on user_id: never below
@@ -1224,7 +1239,7 @@ def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval n-gram decontamination (hllspark/decontam.py): trigram
     overlap of every train doc (doc_id < 200) against an eval slice that
     is an exact copy of train docs 100-149 — those must report ratio 1.0
-    and contaminated=1; Bloom-pruned hash join on xxhash64(gram)."""
+    and contaminated=1; broadcast semi-join on xxhash64(gram)."""
     from hllspark import decontam
 
     docs = _t(spark, sf, "documents")
@@ -1245,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _q_session_stats_events,
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "decontam_overlap": _q_decontam_overlap,
         "streaming_users_within_bound": _q_streaming_users_within_bound,
@@ -1342,6 +1358,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "weighted_sample_docs": (
+            "SELECT doc_id FROM ("
+            "SELECT doc_id, -ln((CAST(concat('0x', substring(md5("
+            "concat_ws(chr(31), CAST(doc_id AS VARCHAR), '11')), 1, 13)) "
+            "AS BIGINT) + 1) / 4503599627370496.0) "
+            "/ CAST(n_chars AS DOUBLE) AS pri "
+            "FROM documents WHERE n_chars > 0 ORDER BY pri LIMIT 100) "
+            "ORDER BY doc_id"
         ),
         "cm_join_size_within_bound": (
             "SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size, "

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from hllspark import agg, dedup, joins
+from hllspark import agg, decontam, dedup, joins, sessions
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -134,6 +134,9 @@ def main() -> None:
     )
     poisoned_docs.count()
 
+    # eval slice for q14: 5% of the corpus by deterministic hash
+    eval_docs = documents.where(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+
     queries = {
         "q0_pages_2m_urls_by_lang": lambda: agg.approx_distinct(
             pages, "url", ["lang"], p=14
@@ -197,6 +200,19 @@ def main() -> None:
         # §14; exact result, only ~(selectivity+fpp) of the fact shuffles)
         "q12_bloom_semijoin": lambda: joins.bloom_semi_join(
             lineitem, "l_orderkey", urgent_orders, "o_orderkey", fpp=0.01
+        ).count(),
+        # gap-based sessionization: lag + running-sum window then per-session
+        # agg, all off ONE exchange on user_id (round 3, sessions.py — the
+        # groupBy keys are a superset of the window partition key so Catalyst
+        # reuses the shuffle; plan-verified 1 Exchange)
+        "q13_sessionize_events": lambda: sessions.session_stats(
+            events, "user_id", "ts", 1800.0, order_cols=["event_id"]
+        ).count(),
+        # train/eval n-gram decontamination: codegen trigrams, broadcast
+        # semi-join on gram hashes, per-doc overlap ratio (round 3,
+        # decontam.py; Bloom prune measured off — PLANS.md §15)
+        "q14_decontam_docs": lambda: decontam.ngram_overlap(
+            documents, eval_docs, "doc_id", "text", n=3
         ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(

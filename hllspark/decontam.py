@@ -11,17 +11,18 @@ path).
 Plan shape, designed for train >> eval (the usual case at 100 TB):
 
   train scan -> ngrams (codegen) -> explode -> distinct per doc
-     -> [Bloom prune on eval-ngram filter: drops ~all non-matching
-         grams BEFORE the shuffle]                  <- the scale lever
-     -> hash-join on the 64-bit ngram hash vs distinct eval grams
+     -> semi-join on the 64-bit ngram hash vs distinct eval grams
+        (broadcast when the eval grams fit — the usual case — so the
+        train gram stream never shuffles at all)
      -> per-doc matched count / total count
 
 The join keys are xxhash64(ngram) (8 bytes instead of the gram text —
 5-10x less shuffle; collision probability ~G^2/2^65, negligible at any
 real gram cardinality; pass ``key='text'`` for the collision-free
-variant).  The eval side is deduplicated once and is typically small
-enough that the Bloom filter (built with the engine's own distributed
-mergeable Bloom) removes almost every unmatched train gram at the scan.
+variant).  An optional Bloom prune before the join exists for the
+narrow regime where the eval grams exceed broadcast size AND network
+shuffle dominates — measured OFF-by-default because the probe costs
+more than the local shuffle it avoids (PLANS.md §15).
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ def ngram_overlap(
     n: int = 8,
     threshold: float = 0.8,
     key: str = "hash",
-    bloom_fpp: float | None = 0.001,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Per-train-document eval-set overlap:
     (id, n_grams, n_matched, overlap_ratio, contaminated).
@@ -76,10 +77,17 @@ def ngram_overlap(
     than n words); ``contaminated`` = ratio >= threshold.
 
     ``bloom_fpp``: build a Bloom filter over the eval grams and prune the
-    (huge) train gram stream before its shuffle — exact result regardless
-    (the real join still runs); None disables.  ``key='hash'`` joins on
-    xxhash64(gram) (small shuffle, astronomically unlikely collisions);
-    ``key='text'`` joins on the gram itself."""
+    train gram stream before its shuffle — exact result regardless (the
+    real join still runs).  Default OFF: measured on local[32] the
+    Arrow-batched probe costs MORE than the shuffle it avoids at every
+    feasible scale (gram rows are only 16 bytes — 0.6s off vs 1.6s on at
+    a 200k-doc train / 20k-doc eval A/B; see PLANS.md §15), and when the
+    eval-gram table fits the broadcast threshold Spark already does a
+    map-side join with no train shuffle at all.  Enable only on
+    network-bound clusters where the eval grams exceed broadcast size AND
+    shuffle bytes dominate.  ``key='hash'`` joins on xxhash64(gram)
+    (small shuffle, astronomically unlikely collisions); ``key='text'``
+    joins on the gram itself."""
     if key not in ("hash", "text"):
         raise ValueError("key must be 'hash' or 'text'")
     tr = doc_ngrams(train, id_col, text_col, n)
@@ -95,7 +103,12 @@ def ngram_overlap(
     totals = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     probe = tr
     if bloom_fpp is not None:
-        probe = joins.bloom_prune(tr, "g", te, "g", fpp=bloom_fpp)
+        # the eval-gram table is read 3x in this mode (filter sizing, Bloom
+        # build, mop-up join) — persist it once; it is small by assumption
+        # (the eval corpus), and its count sizes the filter for free
+        te = te.persist()
+        bloom_bytes = joins.build_bloom(te, "g", fpp=bloom_fpp, n_expected=te.count())
+        probe = joins.bloom_prune(tr, "g", prebuilt=bloom_bytes)
     matched = (
         probe.join(te, "g", "leftsemi")
         .groupBy("id")

@@ -107,6 +107,65 @@ def split(
     return out
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    strata_cols: list[str] | str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets priority ``-ln(u) / w`` with
+    ``u`` a hash-uniform in (0, 1] derived from md5(key, seed); the k
+    smallest priorities are the sample, so inclusion probability is
+    proportional to ``weight_col`` — and the whole draw is reproducible
+    on any engine (u is the first 52 bits of the md5, exact in a double;
+    ln/divide are IEEE-identical across engines).
+
+    Rows with null or non-positive weight are excluded (zero-weight rows
+    can never be drawn in A-ES).
+
+    Global (default): sort-free ``TakeOrdered(k)`` — no full shuffle-sort
+    at any scale.  With ``strata_cols``: k per stratum via a row_number
+    window (one shuffle on the strata)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # u in (0, 1]: (h + 1) / 2^52, h = first 13 md5 hex digits — 52 bits,
+    # exactly representable in a double
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    _SEP, F.col(key_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(2**52))
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    if strata_cols is None:
+        return (
+            base.withColumn("__pri", pri)
+            .orderBy("__pri")
+            .limit(k)
+            .drop("__pri")
+        )
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    w = Window.partitionBy(*strata_cols).orderBy(pri, F.col(key_col))
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str] | str,

@@ -139,6 +139,56 @@ def test_stratified_sample_exact_per_stratum(spark):
     assert {r["lang"]: r["n"] for r in got} == want
 
 
+def test_weighted_sample_deterministic_topk(spark):
+    docs = _docs(spark)
+    a = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_sample(docs, "doc_id", "n_chars", 50, seed=9)
+        .select("doc_id")
+        .collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in sampling.weighted_sample(
+            docs.repartition(7), "doc_id", "n_chars", 50, seed=9
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    # one row with 1000x the weight of 200 others: across 30 seeds of a
+    # 1-draw sample it must win most of the time
+    rows = [(0, 1000.0)] + [(i, 1.0) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    wins = sum(
+        sampling.weighted_sample(df, "id", "w", 1, seed=s).first()["id"] == 0
+        for s in range(30)
+    )
+    # P(win) = 1000/1200 ~ 0.83; 30 trials, P(wins < 15) < 1e-4
+    assert wins >= 15
+
+
+def test_weighted_sample_per_stratum_and_weight_guard(spark):
+    docs = _docs(spark)
+    out = sampling.weighted_sample(
+        docs, "doc_id", "n_chars", 3, seed=2, strata_cols="lang"
+    )
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(v <= 3 for v in per.values()) and len(per) > 1
+    # non-positive weights never sampled
+    bad = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    got = [r["id"] for r in sampling.weighted_sample(bad, "id", "w", 10).collect()]
+    assert got == [4]
+
+
 # ------------------------------------------------------------- join size
 
 
@@ -202,6 +252,17 @@ def test_ngram_overlap_key_modes_agree(spark):
     h = decontam.ngram_overlap(train, test, "doc_id", "text", key="hash", **kw)
     t = decontam.ngram_overlap(train, test, "doc_id", "text", key="text", **kw)
     assert sorted(map(tuple, h.collect())) == sorted(map(tuple, t.collect()))
+
+
+def test_ngram_overlap_bloom_prune_exact(spark):
+    # the optional Bloom prune must not change the result (no false
+    # negatives; false positives removed by the mop-up join)
+    docs = _docs(spark)
+    train = docs.where(F.col("doc_id") < 40)
+    test = docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    off = decontam.ngram_overlap(train, test, "doc_id", "text", n=3)
+    on = decontam.ngram_overlap(train, test, "doc_id", "text", n=3, bloom_fpp=0.01)
+    assert sorted(map(tuple, off.collect())) == sorted(map(tuple, on.collect()))
 
 
 def test_decontaminate_removes_contaminated(spark):
