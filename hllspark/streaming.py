@@ -385,6 +385,49 @@ def windowed_generic_stream(
 # streaming deduplication (training-pipeline operator)
 # ---------------------------------------------------------------------------
 
+def session_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_sec: float,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-based sessionization — Spark's native
+    ``session_window`` (merging event-time windows, state bounded by the
+    watermark) so sessions FINALIZE incrementally: in append mode each
+    (key, session) row is emitted exactly once, when the watermark passes
+    session end + gap.
+
+    Semantics match the batch :func:`hllspark.sessions.sessionize` split
+    rule (events whose spacing is <= gap_sec share a session) — pinned by
+    ``test_session_stream_matches_batch``; the batch op reports a per-key
+    ordinal while this reports the session's event-time extent.
+    ``duration_us`` is last-minus-first event time (the session_window
+    end includes the trailing gap; it is subtracted back out).
+
+    Scale: state per in-flight session only (merged eagerly), sharded by
+    key across executors; late rows beyond ``watermark_delay`` dropped.
+    Returns DataFrame[key, session struct<start,end>, n_events,
+    duration_us]."""
+    if gap_sec <= 0:
+        raise ValueError("gap_sec must be positive")
+    gap_us = int(round(gap_sec * 1_000_000))
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), f"{gap_sec} seconds").alias("session"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "duration_us",
+            F.unix_micros(F.col("session.end"))
+            - F.unix_micros(F.col("session.start"))
+            - F.lit(gap_us),
+        )
+    )
+
+
 def dedup_stream(sdf: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Exact streaming dedup: emit only the FIRST occurrence of each key
     across all micro-batches.  Spark's built-in ``dropDuplicates`` on a

@@ -474,3 +474,63 @@ def test_windowed_generic_stream_final_emits_closed_once(spark, tmp_path):
         assert expected[k] == blob, k
     # all original windows must have closed and been emitted
     assert set(expected).issubset(set(done))
+
+
+def test_session_stream_matches_batch(spark, tmp_path):
+    # controlled gaps incl. one spacing EXACTLY == gap (300s) to pin the
+    # boundary rule shared with the batch op (<= gap merges)
+    base = 1717200000
+    rows = (
+        [(0, base + o) for o in (0, 10, 20, 2000, 2010)]
+        + [(1, base)]
+        + [(2, base), (2, base + 300), (2, base + 900)]
+    )
+    src = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    df.repartition(1).write.mode("overwrite").parquet(src)
+    # two sentinel batches from user 99 push the watermark past every real
+    # session so append mode flushes them (emission happens one batch after
+    # the watermark advance)
+    for k in (1, 2):
+        spark.createDataFrame([(99, base + k * 10**7)], "user_id long, sec long").select(
+            "user_id", F.timestamp_seconds("sec").alias("ts")
+        ).repartition(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out = streaming.session_stream(sdf, "user_id", "ts", 300.0)
+    got = []
+
+    def sink(bdf, bid):
+        got.extend(
+            (r["user_id"], r["n_events"], r["duration_us"])
+            for r in bdf.collect()
+            if r["user_id"] != 99
+        )
+
+    # session windows only support append mode: sessions emit once the
+    # watermark passes session end + gap
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from hllspark import sessions
+
+    batch = sessions.session_stats(df, "user_id", "ts", 300.0)
+    want = [
+        (r["user_id"], r["n_events"], r["duration_us"]) for r in batch.collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # the exact-gap spacing (300s == gap) merged, the 600s one split —
+    # same boundary rule in stream and batch
+    assert (2, 2, 300_000_000) in got and (2, 1, 0) in got
