@@ -1235,6 +1235,29 @@ def _q_cm_join_size_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_asof_click_error(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (hllspark/joins.py as_of_join): attribute every click
+    event to the user's most recent error at-or-before it — union + one
+    exchange + running last() window, no range-join row explosion;
+    checked against DuckDB's native ASOF LEFT JOIN."""
+    from hllspark import joins as hjoins
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_event_id"),
+        F.col("value").alias("err_value"),
+    )
+    out = hjoins.as_of_join(clicks, errors, "user_id", "ts", "err_ts")
+    return out.select(
+        "event_id", "user_id", "err_event_id", "err_value"
+    ).orderBy("event_id")
+
+
 def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval n-gram decontamination (hllspark/decontam.py): trigram
     overlap of every train doc (doc_id < 200) against an eval slice that
@@ -1262,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
+        "asof_click_error": _q_asof_click_error,
         "decontam_overlap": _q_decontam_overlap,
         "streaming_users_within_bound": _q_streaming_users_within_bound,
         "tdigest_median_within_tol": _q_tdigest_median_within_tol,
@@ -1372,6 +1396,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size, "
             "1 AS within_bound FROM "
             "(SELECT count(*) AS c FROM events GROUP BY user_id)"
+        ),
+        "asof_click_error": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "e AS (SELECT user_id, ts AS err_ts, event_id AS err_event_id, "
+            "value AS err_value FROM events WHERE event_type = 'error') "
+            "SELECT c.event_id, c.user_id, e.err_event_id, e.err_value "
+            "FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id "
+            "AND c.ts >= e.err_ts ORDER BY c.event_id"
         ),
         "decontam_overlap": (
             "WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), "

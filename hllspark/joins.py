@@ -142,6 +142,97 @@ def approx_join_size(
     return float(countmin.inner_product(cm_a, cm_b))
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (nearest-event) join: every ``left`` row picks the single
+    ``right`` row with the same key and the latest ``right_ts`` <=
+    ``left_ts`` (direction='backward', inclusive — DuckDB/pandas
+    ``merge_asof`` semantics) or the earliest >= (direction='forward').
+    Unmatched left rows keep nulls; ``tolerance_sec`` voids matches
+    farther than the tolerance.
+
+    Spark has no native as-of join; the classic range-join rewrite
+    explodes into an O(|L| x |R|/key) inequality join.  This plans as
+    union -> ONE hash exchange on the keys -> per-key sort ->
+    last(payload, ignorenulls) running window: linear in |L| + |R|,
+    no row multiplication, the same shuffle/sort shape as a
+    sort-merge join — at 100 TB the cost is one co-partitioning of
+    both sides, exactly what the equivalent SMJ would pay.  Right rows
+    order BEFORE left rows at equal timestamps, making the match
+    inclusive.  Rows with null keys or null timestamps never match.
+    Tie-break between right rows with identical (key, ts) is the last
+    in encounter order (undefined, matching other engines).
+
+    Right payload columns colliding with left names get ``suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if isinstance(on, str):
+        on = [on]
+    right_ts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in on]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload}
+
+    l2 = left.select(
+        *left.columns,
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ats"),
+    )
+    # SQL join semantics: null keys / null timestamps on the right can
+    # never be matched — drop them before the union
+    r_valid = right.where(F.col(right_ts).isNotNull())
+    for c in on:
+        r_valid = r_valid.where(F.col(c).isNotNull())
+    r2 = r_valid.select(
+        *on,
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ats"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c).alias(out_names[c]) for c in payload],
+        ).alias("__rpay"),
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    ts_order = F.col("__ats").asc() if direction == "backward" else F.col("__ats").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
+        .where((F.col("__is_left") == 1) & F.col("__ats").isNotNull())
+    )
+    if tolerance_sec is not None:
+        gap = F.abs(
+            F.col("__ats").cast("timestamp_ltz").cast("double")
+            - F.col("__m.__rts").cast("timestamp_ltz").cast("double")
+        )
+        matched = matched.withColumn(
+            "__m",
+            F.when(gap <= F.lit(float(tolerance_sec)), F.col("__m")),
+        )
+    null_ts = left.where(F.col(left_ts).isNull()).select(
+        *left.columns,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c]) for c in payload],
+    )
+    return matched.select(
+        *left.columns,
+        *[F.col(f"__m.{out_names[c]}").alias(out_names[c]) for c in payload],
+    ).unionByName(null_ts)
+
+
 def estimated_fpp(n: int, m_bits: int, k: int) -> float:
     """Published Bloom false-positive probability after n inserts."""
     return (1.0 - math.exp(-k * n / m_bits)) ** k

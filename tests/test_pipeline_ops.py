@@ -216,6 +216,96 @@ def test_inner_product_exact_when_wide(spark):
     assert est == float(exact)
 
 
+# -------------------------------------------------------------- as-of join
+
+
+def _ts(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_as_of_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "c"), (1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(7), "d")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), "X"), (1, _ts(15), "Y"), (2, _ts(99), "Z")],
+        "k long, ts timestamp, rv string",
+    )
+    out = joins.as_of_join(left, right, "k", "ts")
+    got = {r["lv"]: r["rv"] for r in out.collect()}
+    # ts=10 matches the right row AT 10 (inclusive); ts=5 and key 2 unmatched
+    assert got == {"c": None, "a": "X", "b": "Y", "d": None}
+    # colliding right column name got the suffix
+    assert "ts_right" in out.columns
+
+
+def test_as_of_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), 10), (1, _ts(12), 11)], "k long, ts timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "r5"), (1, _ts(30), "r30")], "k long, ts timestamp, rv string"
+    )
+    fwd = {
+        r["lid"]: r["rv"]
+        for r in joins.as_of_join(left, right, "k", "ts", direction="forward").collect()
+    }
+    assert fwd == {10: "r5", 11: "r30"}
+    tol = {
+        r["lid"]: r["rv"]
+        for r in joins.as_of_join(
+            left, right, "k", "ts", direction="forward", tolerance_sec=10.0
+        ).collect()
+    }
+    assert tol == {10: "r5", 11: None}  # 30-12=18s > 10s tolerance
+
+
+def test_as_of_join_null_keys_and_ts(spark):
+    left = spark.createDataFrame(
+        [(None, _ts(10), 1), (1, None, 2), (1, _ts(10), 3)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(5), "nk"), (1, _ts(5), "ok"), (1, None, "nt")],
+        "k long, ts timestamp, rv string",
+    )
+    got = {r["lid"]: r["rv"] for r in joins.as_of_join(left, right, "k", "ts").collect()}
+    # null key and null ts rows survive but never match
+    assert got == {1: None, 2: None, 3: "ok"}
+
+
+def test_as_of_join_matches_duckdb(spark):
+    import duckdb
+
+    ev = _events(spark)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    got = sorted(
+        (r["event_id"], r["err_event_id"])
+        for r in joins.as_of_join(clicks, errors, "user_id", "ts", "err_ts")
+        .select("event_id", "err_event_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_TEST}/events.parquet'"
+    )
+    want = con.execute(
+        "WITH c AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type='click'), "
+        "e AS (SELECT user_id, ts AS err_ts, event_id AS err_event_id "
+        "FROM events WHERE event_type='error') "
+        "SELECT c.event_id, e.err_event_id FROM c ASOF LEFT JOIN e "
+        "ON c.user_id = e.user_id AND c.ts >= e.err_ts ORDER BY c.event_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
 # -------------------------------------------------------------- decontam
 
 
