@@ -1258,6 +1258,33 @@ def _q_asof_click_error(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _q_bm25_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (hllspark/text.py bm25_scores): every
+    doc scored against a 3-term query; token stream filtered to the query
+    terms before any shuffle, corpus stats broadcast."""
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    return (
+        htext.bm25_scores(docs, ["spark", "window", "hash"])
+        .select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+def _q_top_k_docs_by_len(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped top-k (hllspark/text.py top_k_by): 5 longest docs per lang,
+    deterministic tie-break — one exchange + per-stratum sort."""
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    return (
+        htext.top_k_by(docs, "lang", "n_chars", 5, tie_col="doc_id")
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval n-gram decontamination (hllspark/decontam.py): trigram
     overlap of every train doc (doc_id < 200) against an eval slice that
@@ -1286,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
+        "bm25_docs": _q_bm25_docs,
+        "top_k_docs_by_len": _q_top_k_docs_by_len,
         "decontam_overlap": _q_decontam_overlap,
         "streaming_users_within_bound": _q_streaming_users_within_bound,
         "tdigest_median_within_tol": _q_tdigest_median_within_tol,
@@ -1405,6 +1434,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, e.err_event_id, e.err_value "
             "FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id "
             "AND c.ts >= e.err_ts ORDER BY c.event_id"
+        ),
+        "bm25_docs": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "trim(lower(text)), '\\s+')) AS token FROM documents), "
+            "tok2 AS (SELECT * FROM tok WHERE token != ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), "
+            "stats AS (SELECT (SELECT count(*) FROM documents) AS n, "
+            "(SELECT avg(dl) FROM dl) AS avgdl), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 "
+            "WHERE token IN ('spark', 'window', 'hash') "
+            "GROUP BY doc_id, token), "
+            "dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+            "per AS (SELECT tf.doc_id, "
+            "ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2) / "
+            "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s "
+            "FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) "
+            "CROSS JOIN stats) "
+            "SELECT d.doc_id, round(coalesce(sum(s), 0.0), 4) AS score "
+            "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id "
+            "GROUP BY d.doc_id ORDER BY d.doc_id"
+        ),
+        "top_k_docs_by_len": (
+            "SELECT lang, doc_id, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY n_chars DESC, doc_id) <= 5 ORDER BY lang, doc_id"
         ),
         "decontam_overlap": (
             "WITH tr AS (SELECT doc_id, regexp_split_to_array(trim(text), "

@@ -184,3 +184,101 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
         )
     )
     return F.array_distinct(mins)
+
+
+def explode_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token) — lowercased whitespace tokens, one row each (codegen
+    split + explode; empty/whitespace-only texts yield no rows)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("token")
+    ).where(F.col("token") != "")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to ``query_terms``
+    (Robertson-Sparck Jones; the standard retrieval scorer):
+
+      score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))
+      idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Plan: tokens are filtered to the query terms BEFORE any aggregation
+    (the explode stream collapses to |terms| x docs-containing-them —
+    scan-dominant, tiny shuffles), doc lengths come from one map-side
+    count, and the corpus stats (N, avgdl, per-term df) are a
+    broadcast-joined handful of rows.  Returns (id, score) with score 0
+    for docs containing no query term."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = explode_tokens(df, text_col, id_col)
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    hits = toks.where(F.col("token").isin(terms))
+    tf = hits.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).withColumn("__x", F.lit(1))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl")).withColumn("__x", F.lit(1))
+    stats = F.broadcast(n_docs.join(avgdl, "__x").drop("__x"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "id")
+        .crossJoin(stats)
+        .select(
+            "id",
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    scored = per_term.groupBy("id").agg(F.sum("term_score").alias("score"))
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def top_k_by(
+    df: DataFrame,
+    strata_cols: list[str] | str,
+    order_col: str,
+    k: int,
+    tie_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top k rows per stratum by ``order_col`` (deterministic: ties broken
+    by ``tie_col``).  One exchange on the strata + per-stratum sort — the
+    grouped analogue of TakeOrdered."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if isinstance(strata_cols, str):
+        strata_cols = [strata_cols]
+    from pyspark.sql import Window
+
+    o = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [o] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(*strata_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -355,6 +355,48 @@ def test_ngram_overlap_bloom_prune_exact(spark):
     assert sorted(map(tuple, off.collect())) == sorted(map(tuple, on.collect()))
 
 
+def test_bm25_hand_computed(spark):
+    import math
+
+    from hllspark import text as htext
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark fast"), (1, "slow join"), (2, "spark join join")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["score"] for r in htext.bm25_scores(docs, ["spark"]).collect()}
+    # N=3, df=2, avgdl=8/3, dl=3 for the matching docs
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    denom_tail = 1.2 * (0.25 + 0.75 * 3 / (8 / 3))
+    assert got[0] == pytest.approx(idf * (2 * 2.2) / (2 + denom_tail))
+    assert got[2] == pytest.approx(idf * (1 * 2.2) / (1 + denom_tail))
+    assert got[1] == 0.0
+    with pytest.raises(ValueError):
+        htext.bm25_scores(docs, [])
+
+
+def test_top_k_by_per_stratum(spark):
+    from hllspark import text as htext
+
+    docs = _docs(spark)
+    out = htext.top_k_by(docs, "lang", "n_chars", 3, tie_col="doc_id")
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(v <= 3 for v in per.values())
+    # each returned row's n_chars >= the stratum's 3rd-largest
+    mins = {
+        r["lang"]: r["m"]
+        for r in out.groupBy("lang").agg(F.min("n_chars").alias("m")).collect()
+    }
+    for lang, m in mins.items():
+        bigger = docs.where(
+            (F.col("lang") == lang) & (F.col("n_chars") > m)
+        ).count()
+        assert bigger <= 2
+
+
 def test_decontaminate_removes_contaminated(spark):
     docs = _docs(spark)
     train = docs.where(F.col("doc_id") < 50)
