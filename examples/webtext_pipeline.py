@@ -13,6 +13,8 @@ library surface in one runnable job:
          - per-day distinct urls + rollup to month/global (sketch GROUP BY)
          - p50/p90 text length per lang     (KLL)
          - heavy-hitter url hosts           (Misra-Gries)
+    4b. curation: deterministic train/val/test split (hash-stable),
+        n-gram decontamination of train vs test, BM25 spot-ranking
     5. snapshot-commit sketches with lineage; demonstrate resume
 
 Run: python examples/webtext_pipeline.py [n_rows]   (default 200_000)
@@ -32,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
 
-from hllspark import agg, dedup, io as hio, session, sketch, text
+from hllspark import agg, decontam, dedup, io as hio, sampling, session, sketch, text
 from hllspark.sketches import cpc, generic, misragries as mg
 
 
@@ -94,6 +96,31 @@ def main() -> int:
     ]
     cpc_global = cpc.estimate(cpc.decode(bytes(cpc_sk)))
 
+    # 4b. curation ops (round 3): deterministic train/val/test split,
+    # eval-decontamination of the train shard, BM25 spot-ranking
+    train, val, test_split = sampling.split(deduped, "url", [0.9, 0.05, 0.05])
+    n_train, n_val, n_test = train.count(), val.count(), test_split.count()
+    assert n_train + n_val + n_test == deduped.count()
+    contaminated = (
+        decontam.ngram_overlap(
+            train.withColumn("did", F.xxhash64("url")),
+            test_split.withColumn("did", F.xxhash64("url")).limit(500),
+            "did",
+            "text",
+            n=5,
+            threshold=0.9,
+        )
+        .where(F.col("contaminated") == 1)
+        .count()
+    )
+    top_ranked = (
+        text.bm25_scores(deduped.withColumn("did", F.xxhash64("url")),
+                         ["scan", "merge", "window"], id_col="did")
+        .orderBy(F.desc("score"), "id")
+        .limit(3)
+        .collect()
+    )
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -118,6 +145,9 @@ def main() -> int:
             f"{r['lang']}@{r['prob']}": r["quantile"] for r in quant[:6]
         },
         "top_hosts": top_hosts[:3],
+        "split_sizes": [n_train, n_val, n_test],
+        "train_docs_contaminated_by_test": contaminated,
+        "bm25_top_score": round(top_ranked[0]["score"], 4) if top_ranked else None,
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary, default=str))
