@@ -213,17 +213,32 @@ def bm25_scores(
 
     Plan: tokens are filtered to the query terms BEFORE any aggregation
     (the explode stream collapses to |terms| x docs-containing-them —
-    scan-dominant, tiny shuffles), doc lengths come from one map-side
-    count, and the corpus stats (N, avgdl, per-term df) are a
-    broadcast-joined handful of rows.  Returns (id, score) with score 0
-    for docs containing no query term."""
+    scan-dominant, tiny shuffles), doc lengths are a map-side
+    ``size(split(...))`` — NO full-token shuffle anywhere — and the
+    corpus stats (N, avgdl, per-term df) are a broadcast-joined handful
+    of rows.  Returns (id, score) with score 0 for docs containing no
+    query term."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     toks = explode_tokens(df, text_col, id_col)
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # token count per doc WITHOUT exploding: size(split) equals the
+    # explode-based count (trim removes edge empties; fully-blank text
+    # splits to [''] which the CASE zeroes out)
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.trim(F.col(text_col)) == "", F.lit(0)
+        )
+        .otherwise(F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
+        .cast("long")
+        .alias("dl"),
+    ).where(F.col("dl") > 0)
     hits = toks.where(F.col("token").isin(terms))
-    tf = hits.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df-per-term aggregate and the scoring join; persist
+    # the (docs-with-hits x |terms|)-bounded table so the corpus explode
+    # runs once, not twice (same shared-grain rule as agg.rolling_distinct)
+    tf = hits.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     n_docs = df.select(F.count(F.lit(1)).alias("n")).withColumn("__x", F.lit(1))
     avgdl = dl.agg(F.avg("dl").alias("avgdl")).withColumn("__x", F.lit(1))
     stats = F.broadcast(n_docs.join(avgdl, "__x").drop("__x"))
