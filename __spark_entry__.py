@@ -1258,6 +1258,28 @@ def _q_asof_click_error(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed range join (hllspark/joins.py range_join): events matched
+    into derived per-type value intervals via explode-to-buckets + hash
+    equi-join + exact filter — no cartesian/BNLJ; DuckDB inequality-join
+    oracle."""
+    from hllspark import joins as hjoins
+
+    ev = _t(spark, sf, "events")
+    iv = (
+        ev.where(F.col("event_id") % 37 == 0)
+        .select(
+            "event_type",
+            (F.floor(F.col("value") / 10) * 10).cast("double").alias("lo"),
+            (F.floor(F.col("value") / 10) * 10 + 7).cast("double").alias("hi"),
+        )
+        .distinct()
+    )
+    pts = ev.select("event_id", "event_type", "value")
+    out = hjoins.range_join(pts, "value", iv, "lo", "hi", on="event_type", bucket=10.0)
+    return out.select("event_id", "event_type", "lo").orderBy("event_id", "lo")
+
+
 def _q_bm25_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 relevance scoring (hllspark/text.py bm25_scores): every
     doc scored against a 3-term query; token stream filtered to the query
@@ -1313,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
+        "range_join_events": _q_range_join_events,
         "bm25_docs": _q_bm25_docs,
         "top_k_docs_by_len": _q_top_k_docs_by_len,
         "decontam_overlap": _q_decontam_overlap,
@@ -1434,6 +1457,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_id, c.user_id, e.err_event_id, e.err_value "
             "FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id "
             "AND c.ts >= e.err_ts ORDER BY c.event_id"
+        ),
+        "range_join_events": (
+            "WITH iv AS (SELECT DISTINCT event_type, "
+            "floor(value / 10) * 10 AS lo, floor(value / 10) * 10 + 7 AS hi "
+            "FROM events WHERE event_id % 37 = 0) "
+            "SELECT e.event_id, e.event_type, iv.lo FROM events e "
+            "JOIN iv ON e.event_type = iv.event_type "
+            "AND e.value >= iv.lo AND e.value < iv.hi "
+            "ORDER BY e.event_id, iv.lo"
         ),
         "bm25_docs": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("

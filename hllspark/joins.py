@@ -233,6 +233,68 @@ def as_of_join(
     ).unionByName(null_ts)
 
 
+def range_join(
+    points: DataFrame,
+    t_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    on: list[str] | str | None = None,
+    bucket: float | None = None,
+) -> DataFrame:
+    """Point-in-interval join: every ``points`` row paired with every
+    ``intervals`` row where ``start <= t < end`` (and equal ``on`` keys,
+    if given).  Columns are numeric (cast timestamps to epoch first).
+
+    Spark plans a bare inequality join as BroadcastNestedLoop /
+    cartesian — O(|P| x |I|).  With ``bucket`` (a width in t's units)
+    this becomes the standard bucketed range join: each interval is
+    EXPLODED to the ceil(len/bucket)+1 buckets it overlaps (sequence +
+    explode, codegen), each point maps to its one bucket, and the
+    pairing is a plain hash equi-join on (keys..., bucket) followed by
+    the exact range filter.  Shuffle = |P| + |I| x avg_spans rows;
+    correct for ANY interval length (an interval spanning many buckets
+    appears in each, and each point exists in exactly one bucket, so no
+    duplicate pairs are produced).  Choose bucket ~ the typical interval
+    length: spans ~ 2, near-minimal replication.
+
+    Without ``bucket``, falls back to the exact inequality join (fine
+    when one side broadcasts)."""
+    on = [on] if isinstance(on, str) else list(on or [])
+    for c in on:
+        intervals = intervals.where(F.col(c).isNotNull())
+        points = points.where(F.col(c).isNotNull())
+    cond_keys = [points[c] == intervals[c] for c in on]
+    rng = (points[t_col] >= intervals[start_col]) & (
+        points[t_col] < intervals[end_col]
+    )
+    if bucket is None:
+        out = points.join(intervals, cond_keys + [rng] if on else [rng])
+    else:
+        if bucket <= 0:
+            raise ValueError("bucket must be positive")
+        b = F.lit(float(bucket))
+        lb = F.floor(F.col(start_col) / b)
+        ub0 = F.floor(F.col(end_col) / b)
+        # end is EXCLUSIVE: a bucket-aligned end does not reach its bucket
+        ub = ub0 - F.when(F.col(end_col) == ub0 * b, F.lit(1)).otherwise(F.lit(0))
+        ib = (
+            # empty/inverted intervals match nothing and would make
+            # sequence() run descending — drop them before the explode
+            intervals.where(F.col(start_col) < F.col(end_col))
+            .withColumn("__bk", F.explode(F.sequence(lb, ub)))
+        )
+        pb = points.withColumn("__bk", F.floor(F.col(t_col) / b))
+        out = pb.join(
+            ib, [pb[c] == ib[c] for c in on] + [pb["__bk"] == ib["__bk"]]
+        ).where(
+            (pb[t_col] >= ib[start_col]) & (pb[t_col] < ib[end_col])
+        )
+        dup = [c for c in on] + ["__bk"]
+        out = out.drop(*[ib[c] for c in dup]).drop("__bk")
+    return out
+
+
 def estimated_fpp(n: int, m_bits: int, k: int) -> float:
     """Published Bloom false-positive probability after n inserts."""
     return (1.0 - math.exp(-k * n / m_bits)) ** k

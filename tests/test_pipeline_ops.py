@@ -306,6 +306,41 @@ def test_as_of_join_matches_duckdb(spark):
     assert got == [tuple(w) for w in want]
 
 
+def test_range_join_bucketed_equals_exact(spark):
+    pts = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "pid long, k string, t double",
+    )
+    iv = spark.createDataFrame(
+        [
+            ("a", 0.0, 35.0, 1),    # spans many buckets
+            ("a", 40.0, 41.0, 2),   # sub-bucket
+            ("b", 10.0, 20.0, 3),   # bucket-aligned end (exclusive)
+            ("b", 50.0, 50.0, 4),   # empty interval
+            ("a", 90.0, 80.0, 5),   # inverted
+        ],
+        "k string, lo double, hi double, iid long",
+    )
+    exact = joins.range_join(pts, "t", iv, "lo", "hi", on="k")
+    bucketed = joins.range_join(pts, "t", iv, "lo", "hi", on="k", bucket=10.0)
+    key = lambda df: sorted((r["pid"], r["iid"]) for r in df.collect())
+    assert key(bucketed) == key(exact)
+    got = key(bucketed)
+    # aligned end exclusive: t=20 (even -> k='b') not in [10,20); t=18 is
+    assert (20, 3) not in got and (18, 3) in got
+    # multi-bucket interval matched ONCE per point
+    assert len(got) == len(set(got))
+    # empty + inverted intervals match nothing
+    assert all(i not in (4, 5) for _, i in got)
+
+
+def test_range_join_no_keys(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 25.0)], "pid long, t double")
+    iv = spark.createDataFrame([(0.0, 10.0, 7)], "lo double, hi double, iid long")
+    out = joins.range_join(pts, "t", iv, "lo", "hi", bucket=4.0)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 7)]
+
+
 # -------------------------------------------------------------- decontam
 
 
