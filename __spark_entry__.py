@@ -1280,6 +1280,20 @@ def _q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type", "lo").orderBy("event_id", "lo")
 
 
+def _q_salted_join_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted skew-resistant join (hllspark/joins.py salted_join): fact
+    salt + salt-fold dim replication must reproduce the plain equi-join
+    row count exactly."""
+    from hllspark import joins as hjoins
+
+    li = _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    out = hjoins.salted_join(li, orders, "k", salt=8)
+    return out.agg(F.count(F.lit(1)).alias("n_joined"))
+
+
 def _q_bm25_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 relevance scoring (hllspark/text.py bm25_scores): every
     doc scored against a 3-term query; token stream filtered to the query
@@ -1336,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
         "range_join_events": _q_range_join_events,
+        "salted_join_exact": _q_salted_join_exact,
         "bm25_docs": _q_bm25_docs,
         "top_k_docs_by_len": _q_top_k_docs_by_len,
         "decontam_overlap": _q_decontam_overlap,
@@ -1466,6 +1481,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN iv ON e.event_type = iv.event_type "
             "AND e.value >= iv.lo AND e.value < iv.hi "
             "ORDER BY e.event_id, iv.lo"
+        ),
+        "salted_join_exact": (
+            "SELECT count(*) AS n_joined FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey"
         ),
         "bm25_docs": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("

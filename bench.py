@@ -137,6 +137,19 @@ def main() -> None:
     # eval slice for q14: 5% of the corpus by deterministic hash
     eval_docs = documents.where(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
 
+    # derived per-type value intervals for the range-join query
+    value_intervals = (
+        events.where(F.col("event_id") % 37 == 0)
+        .select(
+            "event_type",
+            (F.floor(F.col("value") / 10) * 10).cast("double").alias("lo"),
+            (F.floor(F.col("value") / 10) * 10 + 7).cast("double").alias("hi"),
+        )
+        .distinct()
+        .cache()
+    )
+    value_intervals.count()
+
     queries = {
         "q0_pages_2m_urls_by_lang": lambda: agg.approx_distinct(
             pages, "url", ["lang"], p=14
@@ -213,6 +226,29 @@ def main() -> None:
         # decontam.py; Bloom prune measured off — PLANS.md §15)
         "q14_decontam_docs": lambda: decontam.ngram_overlap(
             documents, eval_docs, "doc_id", "text", n=3
+        ).count(),
+        # as-of join: every click attributed to the user's latest error —
+        # union + one exchange + running last() window (round 3, PLANS.md §18)
+        "q15_asof_click_error": lambda: joins.as_of_join(
+            events.where(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts"
+            ),
+            events.where(F.col("event_type") == "error").select(
+                "user_id", F.col("ts").alias("err_ts"), F.col("value")
+            ),
+            "user_id",
+            "ts",
+            "err_ts",
+        ).count(),
+        # bucketed range join: explode-to-buckets + equi-join, no cartesian
+        "q16_range_join": lambda: joins.range_join(
+            events.select("event_id", "event_type", "value"),
+            "value",
+            value_intervals,
+            "lo",
+            "hi",
+            on="event_type",
+            bucket=10.0,
         ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(

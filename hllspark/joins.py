@@ -295,6 +295,41 @@ def range_join(
     return out
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the fact side gets a salt in [0, salt)
+    and the dim side is replicated once per salt value (sequence +
+    explode), so a hot key's rows spread over ``salt`` reducers instead
+    of melting one.  Result identical to ``fact.join(dim, on, how)`` for
+    how in ('inner', 'left'); dim should be the smaller side (it is
+    replicated salt-fold — cost salt x |dim| shuffle rows, the explicit
+    trade for breaking the hot partition).
+
+    Complements AQE's skew-join split (which needs statistics and only
+    kicks in post-shuffle): salting is decided at plan time and also
+    covers the partial-aggregate-free first hop.  The salt is not
+    row-deterministic (any assignment is correct — dim carries every
+    salt value), only well-spread."""
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    on = [on] if isinstance(on, str) else list(on)
+    f = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f.join(d, on + ["__salt"], how).drop("__salt")
+
+
 def estimated_fpp(n: int, m_bits: int, k: int) -> float:
     """Published Bloom false-positive probability after n inserts."""
     return (1.0 - math.exp(-k * n / m_bits)) ** k

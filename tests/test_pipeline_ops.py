@@ -334,6 +334,30 @@ def test_range_join_bucketed_equals_exact(spark):
     assert all(i not in (4, 5) for _, i in got)
 
 
+def test_salted_join_equals_plain(spark):
+    import pyspark.sql.functions as SF
+
+    # planted skew: one key holds 5k of 6k fact rows
+    fact = spark.createDataFrame(
+        [(0 if i < 5000 else i % 37, i) for i in range(6000)], "k long, fid long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(40)], "k long, dv string")
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "k", how)
+        salted = joins.salted_join(fact, dim, "k", salt=8, how=how)
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    # salts actually spread the hot key
+    f = fact.withColumn(
+        "__salt", SF.pmod(SF.xxhash64(SF.monotonically_increasing_id()), SF.lit(8))
+    )
+    n_salts = f.where(SF.col("k") == 0).select("__salt").distinct().count()
+    assert n_salts >= 6
+    with pytest.raises(ValueError):
+        joins.salted_join(fact, dim, "k", salt=0)
+
+
 def test_range_join_no_keys(spark):
     pts = spark.createDataFrame([(1, 5.0), (2, 25.0)], "pid long, t double")
     iv = spark.createDataFrame([(0.0, 10.0, 7)], "lo double, hi double, iid long")
