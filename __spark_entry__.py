@@ -1280,6 +1280,24 @@ def _q_range_join_events(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type", "lo").orderBy("event_id", "lo")
 
 
+def _q_json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured column handling: per-type stats over a JSON field
+    extracted from events.props with the JVM-side get_json_object path
+    (no Python; schema-on-read, the standard telemetry-pipeline shape)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_salted_join_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Salted skew-resistant join (hllspark/joins.py salted_join): fact
     salt + salt-fold dim replication must reproduce the plain equi-join
@@ -1351,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_error": _q_asof_click_error,
         "range_join_events": _q_range_join_events,
         "salted_join_exact": _q_salted_join_exact,
+        "json_props_stats": _q_json_props_stats,
         "bm25_docs": _q_bm25_docs,
         "top_k_docs_by_len": _q_top_k_docs_by_len,
         "decontam_overlap": _q_decontam_overlap,
@@ -1485,6 +1504,12 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_exact": (
             "SELECT count(*) AS n_joined FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey"
+        ),
+        "json_props_stats": (
+            "SELECT event_type, count(k) AS n_with_k, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k FROM "
+            "(SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) "
+            "AS k FROM events) GROUP BY event_type ORDER BY event_type"
         ),
         "bm25_docs": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
