@@ -1359,8 +1359,135 @@ def _q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_repetition_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition features (hllspark/curation.py
+    repetition_features): duplicate-segment fractions (instance + char
+    mass), duplicate-word fraction and top-2-gram character coverage,
+    averaged per lang.  All shuffle-free array folds inside the scan;
+    the fixture is single-line word soup so segments split on ' the '."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    feat = curation.repetition_features(docs, line_sep=" the ", ngram_ns=(2,))
+    return (
+        feat.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_line_frac"),
+            F.round(F.avg("dup_line_char_frac"), 4).alias("avg_dup_line_char_frac"),
+            F.round(F.avg("dup_word_frac"), 4).alias("avg_dup_word_frac"),
+            F.round(F.avg("top2gram_char_frac"), 4).alias("avg_top2gram_char_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_line_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level line dedup (hllspark/curation.py dedup_lines,
+    RefinedWeb-style): segments occurring in more than 2 distinct docs are
+    removed everywhere, docs rebuilt in order; per-lang survivor stats.
+    The removal join is left-anti against only the over-threshold lines."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    dd = curation.dedup_lines(
+        docs, id_col="doc_id", text_col="text",
+        line_sep=" the ", join_sep=" the ", max_docs=2,
+    )
+    out = dd.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_lines_dropped").alias("n_lines_dropped"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _pii_poisoned(docs: DataFrame) -> DataFrame:
+    """Deterministic PII markers derived from (doc_id, source) appended to
+    every doc — one email, one phone, one IPv4 — so the detector/redactor
+    is exercised on known ground truth in both engines."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" reach doc"), F.col("doc_id").cast("string"),
+            F.lit("@"), F.col("source"), F.lit(".example.co.uk or 555-010-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+
+
+def _q_pii_redact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (hllspark/curation.py pii_features /
+    redact_pii): per-lang match counts for emails/phones/IPv4 planted
+    deterministically in every doc, plus the residual match count over
+    the redacted text (must be 0).  Patterns live in the Java∩RE2 regex
+    subset so the DuckDB oracle runs the byte-identical expressions."""
+    from hllspark import curation
+
+    docs = _pii_poisoned(_t(spark, sf, "documents"))
+    feat = curation.pii_features(docs)
+    rc = curation.pii_counts(F.col("redacted"))
+    resid = rc["email"] + rc["phone"] + rc["ipv4"]
+    return (
+        feat.withColumn("resid", resid)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("n_emails"),
+            F.sum("n_phones").alias("n_phones"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("resid").alias("residual_after_redact"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """URL analytics (hllspark/curation.py url_features): host extraction,
+    registrable-domain folding (co.uk-style second-level suffixes) and
+    path depth over deterministic per-doc URLs; grouped by registered
+    domain.  Row-local JVM expressions — the shape that feeds per-site
+    distinct-page sketches at crawl scale."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".example.co.uk/d/"))
+            .otherwise(F.lit(".example.org/d/")),
+            F.col("doc_id").cast("string"),
+            F.lit("/p"),
+        ),
+    )
+    feat = curation.url_features(urls)
+    return (
+        feat.groupBy("registered_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.round(F.avg("path_depth"), 4).alias("avg_path_depth"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "repetition_stats_by_lang": _q_repetition_stats_by_lang,
+        "line_dedup_stats": _q_line_dedup_stats,
+        "pii_redact_stats": _q_pii_redact_stats,
+        "url_host_stats": _q_url_host_stats,
         "session_stats_events": _q_session_stats_events,
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
@@ -1440,7 +1567,131 @@ def oracle_sql() -> dict[str, str]:
     golden_rows = ", ".join(
         f"({i}, {v})" for i, v in enumerate(_goldens_i64.values())
     )
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_phone = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+    _pii_ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _pii_text = (
+        "text || ' reach doc' || CAST(doc_id AS VARCHAR) || '@' || source "
+        "|| '.example.co.uk or 555-010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) "
+        "|| ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+        "|| CAST(doc_id % 100 AS VARCHAR)"
+    )
+    _pii_redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{_pii_email}', "
+        f"'<EMAIL>', 'g'), '{_pii_phone}', '<PHONE>', 'g'), '{_pii_ipv4}', "
+        "'<IPV4>', 'g')"
+    )
     return {
+        "repetition_stats_by_lang": (
+            "WITH base AS (SELECT doc_id, lang, text, length(text) AS n_chars, "
+            "  string_split(text, ' the ') AS segs, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents), "
+            "ex AS (SELECT doc_id, trim(segs[i]) AS line FROM base, "
+            "  unnest(generate_series(1, len(segs))) t(i) "
+            "  WHERE trim(segs[i]) <> ''), "
+            "segstats AS (SELECT doc_id, count(*) AS n_lines, "
+            "  count(DISTINCT line) AS n_dlines, sum(length(line)) AS line_chars, "
+            "  sum(CASE WHEN cnt > 1 THEN length(line) ELSE 0 END) AS dup_chars "
+            "  FROM (SELECT doc_id, line, count(*) OVER "
+            "    (PARTITION BY doc_id, line) AS cnt FROM ex) s GROUP BY doc_id), "
+            "wx AS (SELECT doc_id, words[i] AS w FROM base, "
+            "  unnest(generate_series(1, len(words))) t(i)), "
+            "wstats AS (SELECT doc_id, count(*) AS n_words, "
+            "  count(DISTINCT w) AS n_dwords FROM wx GROUP BY doc_id), "
+            "grams AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS gram "
+            "  FROM base, unnest(generate_series(1, len(words) - 1)) t(i) "
+            "  WHERE len(words) >= 2), "
+            "gcnt AS (SELECT doc_id, gram, count(*) AS c FROM grams "
+            "  GROUP BY doc_id, gram), "
+            "best AS (SELECT doc_id, c * length(gram) AS covered FROM "
+            "  (SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id "
+            "   ORDER BY c DESC, gram ASC) AS rn FROM gcnt) WHERE rn = 1), "
+            "perdoc AS (SELECT b.doc_id, b.lang, "
+            "  COALESCE((s.n_lines - s.n_dlines) * 1.0 / NULLIF(s.n_lines, 0), 0) "
+            "    AS dlf, "
+            "  COALESCE(s.dup_chars * 1.0 / NULLIF(s.line_chars, 0), 0) AS dlcf, "
+            "  COALESCE((w.n_words - w.n_dwords) * 1.0 / NULLIF(w.n_words, 0), 0) "
+            "    AS dwf, "
+            "  COALESCE(bb.covered * 1.0 / NULLIF(b.n_chars, 0), 0) AS tg2 "
+            "  FROM base b LEFT JOIN segstats s USING (doc_id) "
+            "  LEFT JOIN wstats w USING (doc_id) "
+            "  LEFT JOIN best bb USING (doc_id)) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "round(avg(dlf), 4) AS avg_dup_line_frac, "
+            "round(avg(dlcf), 4) AS avg_dup_line_char_frac, "
+            "round(avg(dwf), 4) AS avg_dup_word_frac, "
+            "round(avg(tg2), 4) AS avg_top2gram_char_frac "
+            "FROM perdoc GROUP BY lang ORDER BY lang"
+        ),
+        "line_dedup_stats": (
+            "WITH base AS (SELECT doc_id, lang, "
+            "  string_split(text, ' the ') AS segs FROM documents), "
+            "ex AS (SELECT doc_id, i, trim(segs[i]) AS line FROM base, "
+            "  unnest(generate_series(1, len(segs))) t(i) "
+            "  WHERE trim(segs[i]) <> ''), "
+            "bad AS (SELECT line FROM ex GROUP BY line "
+            "  HAVING count(DISTINCT doc_id) > 2), "
+            "kept AS (SELECT * FROM ex WHERE line NOT IN "
+            "  (SELECT line FROM bad)), "
+            "reb AS (SELECT doc_id, string_agg(line, ' the ' ORDER BY i) "
+            "  AS text, count(*) AS n_kept FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, count(*) AS n_lines FROM ex "
+            "  GROUP BY doc_id), "
+            "per AS (SELECT b.doc_id, b.lang, "
+            "  COALESCE(t.n_lines, 0) AS n_lines, "
+            "  COALESCE(t.n_lines, 0) - COALESCE(r.n_kept, 0) AS dropped, "
+            "  COALESCE(length(r.text), 0) AS chars "
+            "  FROM (SELECT DISTINCT doc_id, lang FROM base) b "
+            "  LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_lines) AS BIGINT) AS n_lines, "
+            "CAST(sum(dropped) AS BIGINT) AS n_lines_dropped, "
+            "CAST(sum(chars) AS BIGINT) AS total_chars "
+            "FROM per GROUP BY lang ORDER BY lang"
+        ),
+        "pii_redact_stats": (
+            f"WITH p AS (SELECT lang, {_pii_text} AS t FROM documents), "
+            f"r AS (SELECT lang, "
+            f"  len(regexp_extract_all(t, '{_pii_email}')) AS ne, "
+            f"  len(regexp_extract_all(t, '{_pii_phone}')) AS np, "
+            f"  len(regexp_extract_all(t, '{_pii_ipv4}')) AS ni, "
+            f"  {_pii_redacted} AS red FROM p) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(ne) AS BIGINT) AS n_emails, "
+            "CAST(sum(np) AS BIGINT) AS n_phones, "
+            "CAST(sum(ni) AS BIGINT) AS n_ipv4, "
+            f"CAST(sum(len(regexp_extract_all(red, '{_pii_email}')) "
+            f"+ len(regexp_extract_all(red, '{_pii_phone}')) "
+            f"+ len(regexp_extract_all(red, '{_pii_ipv4}'))) AS BIGINT) "
+            "AS residual_after_redact "
+            "FROM r GROUP BY lang ORDER BY lang"
+        ),
+        "url_host_stats": (
+            "WITH u AS (SELECT doc_id, 'https://' || source || "
+            "  CASE WHEN doc_id % 2 = 0 THEN '.example.co.uk/d/' "
+            "  ELSE '.example.org/d/' END || CAST(doc_id AS VARCHAR) || '/p' "
+            "  AS url FROM documents), "
+            "f AS (SELECT doc_id, "
+            "  lower(string_split(string_split(regexp_extract(url, "
+            "    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '@')[-1], ':')[1]) "
+            "    AS host, "
+            "  len(list_filter(string_split(regexp_extract(url, "
+            "    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/'), "
+            "    x -> x <> '')) AS path_depth FROM u), "
+            "g AS (SELECT doc_id, host, path_depth, string_split(host, '.') "
+            "  AS l FROM f), "
+            "rd AS (SELECT doc_id, host, path_depth, "
+            "  CASE WHEN len(l) >= 3 AND l[len(l) - 1] IN "
+            "    ('co', 'com', 'net', 'org', 'gov', 'edu', 'ac') "
+            "  THEN l[len(l) - 2] || '.' || l[len(l) - 1] || '.' || l[len(l)] "
+            "  WHEN len(l) >= 2 THEN l[len(l) - 1] || '.' || l[len(l)] "
+            "  ELSE host END AS registered_domain FROM g) "
+            "SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
+            "round(avg(path_depth), 4) AS avg_path_depth "
+            "FROM rd GROUP BY registered_domain ORDER BY registered_domain"
+        ),
         "session_stats_events": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id "
             "FROM events), "

@@ -1,0 +1,187 @@
+"""Web-corpus curation operators: Gopher repetition filters, corpus-level
+line dedup, PII redaction, URL analytics (hllspark/curation.py)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hllspark import curation
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+# ------------------------------------------------------- repetition features
+
+
+def test_repetition_features_hand_computed(spark):
+    # lines: [a b, a b, c d e, a b] -> 2 of 4 instances are repeats;
+    # dup char mass = 3*3 of 14 line chars; words a,b,a,b,c,d,e,a,b ->
+    # top 2-gram "a b" x3 covers 9 of 17 text chars.
+    df = _df(spark, [(1, "a b\na b\nc d e\na b")])
+    r = curation.repetition_features(df, ngram_ns=(2,)).collect()[0]
+    assert r["dup_line_frac"] == pytest.approx(0.5)
+    assert r["dup_line_char_frac"] == pytest.approx(9 / 14)
+    assert r["dup_word_frac"] == pytest.approx(1 - 5 / 9)
+    assert r["top2gram_char_frac"] == pytest.approx(9 / 17)
+
+
+def test_repetition_features_no_repeats_and_empty(spark):
+    df = _df(spark, [(1, "w x\ny z"), (2, "")])
+    rows = {r["doc_id"]: r for r in curation.repetition_features(df).collect()}
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["dup_line_char_frac"] == 0.0
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["top2gram_char_frac"] == 0.0
+
+
+def test_top_ngram_tiebreak_is_lexicographic(spark):
+    # "b c" and "a b" both occur once -> smallest gram "a b" wins,
+    # matching the SQL oracle's ORDER BY count DESC, gram ASC.
+    df = _df(spark, [(1, "a b c")])
+    r = df.select(
+        curation.top_ngram_char_fraction(F.col("text"), 2).alias("f")
+    ).collect()[0]
+    assert r["f"] == pytest.approx(3 / 5)  # len("a b") * 1 / 5 chars
+
+
+def test_gopher_symbol_and_line_shape_features(spark):
+    df = _df(spark, [(1, "- item one\n- item two\nkeep going...\n# x # y")])
+    r = curation.repetition_features(df).collect()[0]
+    assert r["bullet_line_frac"] == pytest.approx(2 / 4)
+    assert r["ellipsis_line_frac"] == pytest.approx(1 / 4)
+    assert r["symbol_word_ratio"] > 0
+
+
+def test_quality_filter_drops_repetitive_doc(spark):
+    good = " ".join(f"tok{i % 97} word{i % 89}" for i in range(60))
+    bad = "spam ham " * 80  # top-2gram coverage ~1
+    df = _df(spark, [(1, good), (2, bad)])
+    kept = curation.quality_filter(df, min_words=10).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert curation.quality_filter(df, min_words=10).columns == df.columns
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def test_dedup_lines_drops_cross_doc_boilerplate(spark):
+    df = _df(
+        spark,
+        [
+            (1, "COOKIE BANNER\nreal content one"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "COOKIE BANNER\nreal content three\nCOOKIE BANNER"),
+            (4, "only original text"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.dedup_lines(df, max_docs=1).collect()
+    }
+    assert out[1]["text"] == "real content one"
+    assert out[3]["text"] == "real content three"
+    assert out[3]["n_lines_dropped"] == 2  # both occurrences removed
+    assert out[4]["text"] == "only original text"
+    assert out[4]["n_lines_dropped"] == 0
+
+
+def test_dedup_lines_keeps_within_doc_repeats(spark):
+    # repeated within ONE doc only -> count(distinct doc)=1 -> kept
+    df = _df(spark, [(1, "la la\nla la\nother")])
+    out = curation.dedup_lines(df, max_docs=1).collect()[0]
+    assert out["text"] == "la la\nla la\nother"
+    assert out["n_lines_dropped"] == 0
+
+
+def test_dedup_lines_all_boilerplate_doc_survives_empty(spark):
+    df = _df(spark, [(1, "x y"), (2, "x y"), (3, "x y")])
+    out = {r["doc_id"]: r for r in curation.dedup_lines(df, max_docs=1).collect()}
+    assert len(out) == 3
+    assert all(out[i]["text"] == "" for i in out)
+    assert all(out[i]["n_lines_dropped"] == 1 for i in out)
+
+
+def test_dedup_lines_preserves_order_and_custom_sep(spark):
+    df = _df(spark, [(1, "p1 the p2 the p3"), (2, "zz the p9")])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curation.dedup_lines(
+            df, line_sep=" the ", join_sep=" the ", max_docs=1
+        ).collect()
+    }
+    assert out[1] == "p1 the p2 the p3"
+    assert out[2] == "zz the p9"
+
+
+# -------------------------------------------------------------------- PII
+
+
+def test_pii_counts_and_redaction_roundtrip(spark):
+    df = _df(
+        spark,
+        [
+            (1, "write a.b+c@mail.example.org or 555-010-1234 at 192.168.0.1"),
+            (2, "nothing sensitive here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in curation.pii_features(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "write <EMAIL> or <PHONE> at <IPV4>"
+    assert out[2]["pii_total"] == 0
+    assert out[2]["redacted"] == out[2]["text"]
+    # redacted text must contain no residual matches
+    resid = curation.pii_features(
+        curation.pii_features(df).select(
+            "doc_id", F.col("redacted").alias("text")
+        )
+    )
+    assert resid.agg(F.sum("pii_total")).collect()[0][0] == 0
+
+
+def test_pii_email_with_digit_local_part_redacts_before_phone(spark):
+    # digits in the local part must not be clipped by the phone pass
+    df = _df(spark, [(1, "ref 555 010 1234@ids.example.com end")])
+    r = curation.pii_features(df).collect()[0]
+    assert "<EMAIL>" in r["redacted"]
+    assert "@" not in r["redacted"]
+
+
+# -------------------------------------------------------------------- URLs
+
+
+def test_url_features_host_domain_depth(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://user:pw@Sub.Example.CO.UK:8443/a/b/c?x=1"),
+            (2, "http://plain.org/"),
+            (3, "https://deep.a.b.example.com/x"),
+            (4, "https://localhost"),
+        ],
+        "id int, url string",
+    )
+    out = {r["id"]: r for r in curation.url_features(df).collect()}
+    assert out[1]["host"] == "sub.example.co.uk"
+    assert out[1]["registered_domain"] == "example.co.uk"
+    assert out[1]["path_depth"] == 3
+    assert out[2]["registered_domain"] == "plain.org"
+    assert out[2]["path_depth"] == 0
+    assert out[3]["registered_domain"] == "example.com"
+    assert out[4]["registered_domain"] == "localhost"
+
+
+def test_url_features_feeds_sketch_by(spark):
+    # the crawl-scale composition: distinct pages per registrable domain
+    from hllspark import agg
+
+    df = spark.range(200).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 4).cast("string"),
+            F.lit(".site.com/p/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    feat = curation.url_features(df)
+    est = agg.approx_distinct(feat, "url", ["registered_domain"], p=12)
+    rows = est.collect()
+    assert len(rows) == 1 and rows[0]["registered_domain"] == "site.com"
+    assert abs(rows[0]["distinct_estimate"] - 200) <= 0.1 * 200
