@@ -1482,9 +1482,31 @@ def _q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (hllspark/curation.py pack_sequences): GPT-style
+    concat-and-chunk assignment over the whole corpus in doc_id order,
+    seq_len=256 — two-phase distributed cumsum (range partitions + a
+    bounded one-row-per-partition prefix collect), never a single-
+    partition global window."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = curation.pack_sequences(toks, "doc_id", "n_tokens", 256, num_partitions=8)
+    return (
+        packed.where(F.col("doc_id") < 100)
+        .select("doc_id", "n_tokens", "chunk_id", "chunk_offset", "n_chunks_spanned")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "repetition_stats_by_lang": _q_repetition_stats_by_lang,
+        "pack_chunks": _q_pack_chunks,
         "line_dedup_stats": _q_line_dedup_stats,
         "pii_redact_stats": _q_pii_redact_stats,
         "url_host_stats": _q_url_host_stats,
@@ -1623,6 +1645,20 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(dwf), 4) AS avg_dup_word_frac, "
             "round(avg(tg2), 4) AS avg_top2gram_char_frac "
             "FROM perdoc GROUP BY lang ORDER BY lang"
+        ),
+        "pack_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+            "  AS n FROM documents), "
+            "c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id "
+            "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, n AS n_tokens, "
+            "CAST(floor((cum - n) / 256) AS BIGINT) AS chunk_id, "
+            "CAST((cum - n) % 256 AS BIGINT) AS chunk_offset, "
+            "CAST(CASE WHEN n > 0 THEN floor((cum - 1) / 256) "
+            "  - floor((cum - n) / 256) + 1 ELSE 0 END AS BIGINT) "
+            "  AS n_chunks_spanned "
+            "FROM c WHERE doc_id < 100 ORDER BY doc_id"
         ),
         "line_dedup_stats": (
             "WITH base AS (SELECT doc_id, lang, "

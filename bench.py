@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from hllspark import agg, decontam, dedup, joins, sessions
+from hllspark import agg, curation, decontam, dedup, joins, sessions
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -119,6 +119,15 @@ def main() -> None:
             "overwrite"
         ).parquet(pages_path)
     pages = spark.read.parquet(pages_path)
+    # deterministic 25% sample for the curation pass (q17): per-doc feature
+    # extraction is compute-bound, so a bounded sample keeps the bench
+    # wall time stable while rows/sec still measures the operator
+    pages_500k = (
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+        .select("lang", "text")
+        .cache()
+    )
+    n_pages_500k = pages_500k.count()
 
     # planted-skew corpus for q9: one document duplicated 2000x
     one_text = documents.where(F.col("doc_id") == 0).first()["text"]
@@ -250,6 +259,38 @@ def main() -> None:
             on="event_type",
             bucket=10.0,
         ).count(),
+        # full Gopher-style curation scan (repetition stats via the
+        # mapInArrow fast path — pyarrow C kernels + numpy, no Python
+        # objects; PII regexes JVM-side), 500k-page deterministic sample;
+        # the only exchange is the per-lang average (round 3, PLANS.md §21)
+        "q17_curation_pages_500k": lambda: curation.pii_features(
+            curation.repetition_features(
+                pages_500k, ngram_ns=(2,), impl="arrow"
+            )
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)),
+            F.avg("dup_word_frac"),
+            F.avg("top2gram_char_frac"),
+            F.sum("pii_total"),
+        )
+        .collect(),
+        # GPT-style sequence packing of the 2M-page token stream: two-phase
+        # distributed cumsum (range shuffle + one-row-per-partition prefix
+        # collect), never a single-partition global window (PLANS.md §20)
+        "q18_pack_pages_2m": lambda: curation.pack_sequences(
+            pages.select(
+                "url",
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            ),
+            "url",
+            "n_tokens",
+            2048,
+            num_partitions=CPUS,
+        )
+        .agg(F.max("chunk_id"), F.sum("n_chunks_spanned"))
+        .collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -283,6 +324,10 @@ def main() -> None:
             SYNTH_ROWS / results["b0_hashonly_20m"]
         ),
         "pages_rows_per_sec": round(2_000_000 / results["q0_pages_2m_urls_by_lang"]),
+        "curation_docs_per_sec": round(
+            n_pages_500k / results["q17_curation_pages_500k"]
+        ),
+        "pack_docs_per_sec": round(2_000_000 / results["q18_pack_pages_2m"]),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]
         ),

@@ -135,9 +135,9 @@ def repetition_features(
     text_col: str = "text",
     line_sep: str = "\n",
     ngram_ns: tuple[int, ...] = (2, 3),
+    impl: str = "expr",
 ) -> DataFrame:
-    """Adds the Gopher repetition statistics, all computed inside the
-    scan stage (no shuffle, no Python):
+    """Adds the Gopher repetition statistics (no shuffle either way):
 
     - ``dup_line_frac`` / ``dup_line_char_frac`` — duplicate segments
       (split on ``line_sep``) by instance count and by character mass,
@@ -146,7 +146,21 @@ def repetition_features(
     - ``bullet_line_frac`` / ``ellipsis_line_frac`` — segments starting
       with a bullet glyph / ending with an ellipsis,
     - ``symbol_word_ratio`` — '#'/'...' occurrences per word.
-    """
+
+    ``impl='expr'``: pure JVM higher-order-function expressions inside
+    the scan stage — plan-pure and oracle-matched, but HOFs are
+    interpreted (CodegenFallback) and the per-doc gram sort/fold costs
+    ~25µs/doc.  ``impl='arrow'``: mapInArrow where the string work
+    (split / flatten / dictionary-encode / regex match) runs in pyarrow
+    C kernels and the counting/grouping/argmax in numpy — NO Python
+    objects on the data path (a mapInPandas twin that materialized the
+    tokens as Python strings was GC-bound and 10-20x noisier, PLANS.md
+    §21) — value-identical (pytest-gated).  Use 'arrow' for full-corpus
+    curation scans, 'expr' when the column must stay a plan expression."""
+    if impl == "arrow":
+        return _repetition_features_arrow(df, text_col, line_sep, ngram_ns)
+    if impl != "expr":
+        raise ValueError("impl must be 'expr' or 'arrow'")
     t = F.col(text_col)
     lines = segments(t, line_sep)
     words = F.split(F.trim(t), r"\s+")
@@ -176,6 +190,204 @@ def repetition_features(
     return out
 
 
+def _repetition_features_arrow(
+    df: DataFrame,
+    text_col: str,
+    line_sep: str,
+    ngram_ns: tuple[int, ...],
+) -> DataFrame:
+    """mapInArrow twin of the expression path with NO Python objects on
+    the data path: splitting / flattening / dictionary-encoding / regex
+    matching run in pyarrow C kernels; counting, grouping and argmax run
+    in numpy over int64 code arrays.  Lexicographic-rank codes come from
+    `pc.sort_indices` over the (small) dictionary only, so the top-gram
+    tie-break matches the expr/SQL `count DESC, gram ASC` exactly (code
+    order == gram-string order because ' ' sorts below every non-control
+    character).  Value-identical to impl='expr' (pytest-gated)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    feat_names = [
+        "dup_line_frac", "dup_line_char_frac", "dup_word_frac",
+        "bullet_line_frac", "ellipsis_line_frac", "symbol_word_ratio",
+    ] + [f"top{n}gram_char_frac" for n in ngram_ns]
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f, DoubleType(), False) for f in feat_names]
+    )
+    text_idx = df.columns.index(text_col)
+    _sep_is_literal = not any(ch in line_sep for ch in r".^$*+?{}[]|()\\")
+
+    def _lex_encode(flat):
+        """(codes int64 ndarray, sorted uniques Array, uniq lens ndarray).
+        dictionary_encode is a C hash table; only the dictionary is
+        sorted (C UTF8 compare) to turn its indices into lex ranks."""
+        denc = pc.dictionary_encode(flat)
+        dic = denc.dictionary if hasattr(denc, "dictionary") else denc.combine_chunks().dictionary
+        idx = denc.indices if hasattr(denc, "indices") else denc.combine_chunks().indices
+        order = pc.sort_indices(dic).to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = np.empty(len(dic), dtype=np.int64)
+        rank[order] = np.arange(len(dic))
+        codes = rank[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        dic_sorted = dic.take(pa.array(order))
+        ulen = pc.utf8_length(dic_sorted).to_numpy(zero_copy_only=False).astype(np.int64)
+        return codes, ulen
+
+    def _list_grain(list_arr, B):
+        """(flat values Array, parent doc ids ndarray, per-doc counts)."""
+        flat = pc.list_flatten(list_arr)
+        doc = pc.list_parent_indices(list_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.list_value_length(list_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        return flat, doc, n
+
+    def compute(batches):
+        for rb in batches:
+            B = rb.num_rows
+            cols = list(rb.columns)
+            if B == 0:
+                empty = [pa.array([], type=pa.float64()) for _ in feat_names]
+                yield pa.RecordBatch.from_arrays(
+                    cols + empty, names=list(rb.schema.names) + feat_names
+                )
+                continue
+            texts = pc.fill_null(rb.column(text_idx), "")
+            out = {}
+
+            # ---- lines -------------------------------------------------
+            # literal separators (the common case: '\n', ' the ') take the
+            # non-regex split kernel, ~3x faster than RE2
+            if _sep_is_literal:
+                raw_lines = pc.split_pattern(texts, line_sep)
+            else:
+                raw_lines = pc.split_pattern_regex(texts, line_sep)
+            lflat_raw, ldoc_raw, _ = _list_grain(raw_lines, B)
+            lflat_t = pc.utf8_trim_whitespace(lflat_raw)
+            keep = pc.not_equal(lflat_t, "").to_numpy(zero_copy_only=False)
+            lflat = lflat_t.filter(pa.array(keep))
+            ldoc = ldoc_raw[keep]
+            nl = np.bincount(ldoc, minlength=B).astype(np.int64)
+            if len(lflat):
+                lcodes, llen = _lex_encode(lflat)
+                L = max(int(lcodes.max()) + 1, 1)
+                uk, cnt = np.unique(ldoc * L + lcodes, return_counts=True)
+                ndl = np.bincount(uk // L, minlength=B)
+                dupc = np.bincount(
+                    uk // L,
+                    weights=np.where(cnt > 1, cnt * llen[uk % L], 0.0),
+                    minlength=B,
+                )
+                lchars = np.bincount(ldoc, weights=llen[lcodes], minlength=B)
+                bull = pc.match_substring_regex(lflat, r"^(\-|\*|•)")
+                ell = pc.match_substring_regex(lflat, r"(\.\.\.|…)$")
+                nbull = np.bincount(
+                    ldoc, weights=bull.to_numpy(zero_copy_only=False), minlength=B
+                )
+                nell = np.bincount(
+                    ldoc, weights=ell.to_numpy(zero_copy_only=False), minlength=B
+                )
+            else:
+                ndl = dupc = lchars = nbull = nell = np.zeros(B)
+            nl_safe = np.maximum(nl, 1)
+            out["dup_line_frac"] = np.where(nl > 0, (nl - ndl) / nl_safe, 0.0)
+            out["dup_line_char_frac"] = np.where(
+                lchars > 0, dupc / np.maximum(lchars, 1), 0.0
+            )
+            out["bullet_line_frac"] = np.where(nl > 0, nbull / nl_safe, 0.0)
+            out["ellipsis_line_frac"] = np.where(nl > 0, nell / nl_safe, 0.0)
+
+            # ---- words -------------------------------------------------
+            # ascii_split_whitespace == Java \s+ on trimmed text (both are
+            # ASCII [ \t\n\v\f\r] runs) and is 3.3x faster than the RE2
+            # regex split, but it emits empty tokens at text edges —
+            # filter them; the remaining divergence is blank text
+            # ([''] vs []) where every numerator is 0 anyway
+            words_list = pc.ascii_split_whitespace(texts)
+            flat, doc, _ = _list_grain(words_list, B)
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            if not nonempty.all():
+                flat = flat.filter(pa.array(nonempty))
+                doc = doc[nonempty]
+            nw = np.bincount(doc, minlength=B).astype(np.int64)
+            nchars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(flat):
+                codes, ulen = _lex_encode(flat)
+                V = max(int(codes.max()) + 1, 1)
+                ukw = np.unique(doc * V + codes)
+                ndw = np.bincount(ukw // V, minlength=B)
+            else:
+                codes = np.zeros(0, dtype=np.int64)
+                ulen = np.zeros(0, dtype=np.int64)
+                V = 1
+                ndw = np.zeros(B, dtype=np.int64)
+            nw_safe = np.maximum(nw, 1)
+            out["dup_word_frac"] = np.where(nw > 0, (nw - ndw) / nw_safe, 0.0)
+            hashes = pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+            dots = pc.count_substring(texts, "...").to_numpy(zero_copy_only=False)
+            # expr-path denominator counts the [''] token of blank text;
+            # the numerator is 0 there either way, so the values agree
+            out["symbol_word_ratio"] = np.where(
+                nw > 0, (hashes + dots) / nw_safe, 0.0
+            )
+
+            # ---- top n-grams --------------------------------------------
+            for n in ngram_ns:
+                if len(codes) == 0 or n < 2:
+                    out[f"top{n}gram_char_frac"] = np.zeros(B)
+                    continue
+                # stepwise integer combine: comb = prefix*V + next keeps
+                # numeric order == joined-gram string order (' ' sorts
+                # below every non-control character), so no re-ranking is
+                # needed — compress via np.unique ONLY when the key space
+                # approaches int64 overflow (huge per-batch vocab)
+                gcode = codes
+                glen = ulen[codes]
+                for step in range(1, n):
+                    if gcode.size and int(gcode.max()) > (2**62) // V:
+                        _, gcode = np.unique(gcode, return_inverse=True)
+                    b = codes[step:]
+                    gcode = gcode[: len(b)] * V + b
+                    glen = glen[: len(b)] + ulen[b] + 1
+                m = doc[: len(gcode)] == doc[n - 1 :]
+                gdoc = doc[: len(gcode)][m]
+                gc_ = gcode[m]
+                gl = glen[m]
+                if len(gc_) == 0:
+                    out[f"top{n}gram_char_frac"] = np.zeros(B)
+                    continue
+                keyspace = int(gc_.max()) + 1
+                if keyspace > (2**62) // max(B, 1):
+                    _, gc_ = np.unique(gc_, return_inverse=True)
+                    keyspace = int(gc_.max()) + 1
+                # unique (doc, gram) keys come out SORTED: within a doc,
+                # grams ascend — so "first index of the max count" IS the
+                # `count DESC, gram ASC` winner; segmented max/argmin via
+                # reduceat replaces a full lexsort (measured 25x cheaper)
+                uk2, fidx, cnt2 = np.unique(
+                    gdoc * keyspace + gc_, return_index=True, return_counts=True
+                )
+                d2 = uk2 // keyspace
+                glen_at = gl[fidx]  # gram char length per unique key
+                seg = np.flatnonzero(np.r_[True, d2[1:] != d2[:-1]])
+                maxs = np.maximum.reduceat(cnt2, seg)
+                is_max = cnt2 == np.repeat(maxs, np.diff(np.r_[seg, len(cnt2)]))
+                idx_or_inf = np.where(is_max, np.arange(len(cnt2)), len(cnt2))
+                winner = np.minimum.reduceat(idx_or_inf, seg)
+                covered = np.zeros(B, dtype=np.float64)
+                covered[d2[seg]] = cnt2[winner] * glen_at[winner]
+                out[f"top{n}gram_char_frac"] = np.where(
+                    nchars > 0, covered / np.maximum(nchars, 1), 0.0
+                )
+
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(out[f], type=pa.float64()) for f in feat_names],
+                names=list(rb.schema.names) + feat_names,
+            )
+
+    return df.mapInArrow(compute, schema)
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -189,10 +401,12 @@ def quality_filter(
     max_dup_line_char_frac: float = 0.20,
     max_top2gram_char_frac: float = 0.20,
     max_top3gram_char_frac: float = 0.18,
+    impl: str = "expr",
 ) -> DataFrame:
     """Gopher-rule document filter: keeps rows passing every threshold,
-    original schema preserved.  One scan, no shuffle — each predicate is
-    a JVM expression over this row only."""
+    original schema preserved.  One scan, no shuffle either way; pass
+    impl='arrow' to route the repetition statistics through the
+    vectorized mapInArrow path for full-corpus runs."""
     t = F.col(text_col)
     words = F.split(F.trim(t), r"\s+")
     n_words = F.size(words)
@@ -200,7 +414,7 @@ def quality_filter(
         F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
         n_words,
     )
-    feat = repetition_features(df, text_col, line_sep, ngram_ns=(2, 3))
+    feat = repetition_features(df, text_col, line_sep, ngram_ns=(2, 3), impl=impl)
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)
@@ -365,6 +579,82 @@ def registered_domain(host: Column) -> Column:
     take3 = (n >= 3) & F.element_at(labels, -2).isin(_SECOND_LEVEL)
     tail = F.when(take3, F.slice(labels, -3, 3)).otherwise(F.slice(labels, -2, 2))
     return F.when(n >= 2, F.array_join(tail, ".")).otherwise(host)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pretraining batch construction)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk assignment: documents are concatenated
+    in ``order_col`` order (must be unique — it defines the token
+    stream) and the stream is cut every ``seq_len`` tokens.  Adds:
+
+    - ``chunk_id``    — chunk containing the document's FIRST token,
+    - ``chunk_offset``— token offset of the document within that chunk,
+    - ``n_chunks_spanned`` — how many chunks the document touches.
+
+    The global ordered cumulative sum is the scale hazard here: a naive
+    ``Window.orderBy(order_col)`` collapses to ONE partition.  This uses
+    the classic two-phase formulation instead — range-repartition on the
+    order column, per-partition window cumsum, then a driver collect of
+    ONE row per partition (bounded by the partition count, never by the
+    data) whose running totals are folded back in as a broadcast map.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from pyspark.sql import Window
+
+    n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    parts = (
+        df.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else df.repartitionByRange(order_col)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the sorted/cumsum grain feeds both the totals collect and the result
+    # plan — persist so the range shuffle + sort run once
+    local = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__cum", F.sum(n).over(w))
+        .persist()
+    )
+    # one row per partition — bounded driver collect, independent of |df|
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    pmap = F.create_map(
+        *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+    )
+    end = F.col("__cum") + pmap[F.col("__pid")]
+    start = end - n
+    return (
+        local.withColumn("chunk_id", F.floor(start / seq_len))
+        .withColumn("chunk_offset", start % seq_len)
+        .withColumn(
+            "n_chunks_spanned",
+            F.when(n > 0, F.floor((end - 1) / seq_len) - F.floor(start / seq_len) + 1)
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__pid", "__cum")
+    )
 
 
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:

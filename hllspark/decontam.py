@@ -35,17 +35,29 @@ from . import joins
 
 def ngram_col(text: Column, n: int) -> Column:
     """Array of word ``n``-grams (space-joined) of a text column; empty
-    array when the text has fewer than n whitespace tokens.  Pure codegen
-    (split / sequence / transform / slice)."""
+    array when the text has fewer than n whitespace tokens.
+
+    Formulated as chained ``zip_with`` over the word array and its
+    k-shifted slices — every array is an HOF *argument*, evaluated once
+    per row.  The obvious ``transform(sequence, i -> slice(words, i, n))``
+    is a performance trap: a lambda that captures an outer expression
+    re-evaluates that whole expression (including the regex split) per
+    element, measured 7x slower at 400k docs and quadratic in doc length
+    (PLANS.md §21).  Trailing positions pair with null, null-propagate
+    through concat, and are filtered off."""
     if n < 1:
         raise ValueError("n must be >= 1")
     words = F.split(F.trim(text), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(words, i + F.lit(1), n)),
-    )
-    return F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
+    if n == 1:
+        return words
+    size = F.size(words)
+    grams = words
+    for k in range(1, n):
+        shifted = F.slice(words, k + 1, F.greatest(size - k, F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.coalesce(
+        F.filter(grams, lambda x: x.isNotNull()),
+        F.array().cast("array<string>"),
     )
 
 

@@ -185,3 +185,80 @@ def test_url_features_feeds_sketch_by(spark):
     rows = est.collect()
     assert len(rows) == 1 and rows[0]["registered_domain"] == "site.com"
     assert abs(rows[0]["distinct_estimate"] - 200) <= 0.1 * 200
+
+
+# --------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_hand_computed(spark):
+    from hllspark.curation import pack_sequences
+
+    rows = [(1, 5), (2, 3), (3, 4), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, "doc_id", "n", 8).collect()
+    }
+    # stream starts: 0, 5, 8, 12 -> chunks of 8
+    assert [out[i]["chunk_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert [out[i]["chunk_offset"] for i in (1, 2, 3, 4)] == [0, 5, 0, 4]
+    assert [out[i]["n_chunks_spanned"] for i in (1, 2, 3, 4)] == [1, 1, 1, 2]
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from hllspark.curation import pack_sequences
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).alias("n")
+    )
+    a = pack_sequences(df, "doc_id", "n", 128, num_partitions=1)
+    b = pack_sequences(df, "doc_id", "n", 128, num_partitions=16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_zero_and_null_tokens(spark):
+    from hllspark.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 0), (3, None), (4, 4)], "doc_id int, n int"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n", 4).collect()}
+    assert out[2]["n_chunks_spanned"] == 0
+    assert out[3]["n_chunks_spanned"] == 0
+    assert out[4]["chunk_id"] == 1  # zero-length docs consume no budget
+
+
+# ------------------------------------------------ expr vs arrow equivalence
+
+
+def test_repetition_impls_value_identical(spark):
+    import pandas as pd
+
+    rows = [
+        (1, "a b\na b\nc d e\na b"),
+        (2, ""), (3, "   "), (4, None), (5, "a"),
+        (6, "- x\n- x\nend..."),
+        (7, "# # # spam ham spam ham"),
+        (8, "  padded  text  padded  "),
+        (9, "z y x w v z y x w the tail the tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for sep in ("\n", " the "):
+        e = (
+            curation.repetition_features(df, line_sep=sep, ngram_ns=(2, 3), impl="expr")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        a = (
+            curation.repetition_features(df, line_sep=sep, ngram_ns=(2, 3), impl="arrow")
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(e, a, check_exact=False, atol=1e-12)
+
+
+def test_quality_filter_arrow_impl_same_survivors(spark):
+    good = " ".join(f"tok{i % 97} word{i % 89}" for i in range(60))
+    bad = "spam ham " * 80
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id int, text string")
+    ke = curation.quality_filter(df, min_words=10).select("doc_id").collect()
+    ka = curation.quality_filter(df, min_words=10, impl="arrow").select("doc_id").collect()
+    assert ke == ka == [(1,)]
