@@ -1503,10 +1503,60 @@ def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_index_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup index (hllspark/dedup.py write_minhash_index /
+    index_near_matches): docs < 300 are indexed once (signatures + banded
+    buckets on disk); a NEW batch (docs 300-349 plus exact copies of docs
+    0-4 under shifted ids) dedups against the index without re-signaturing
+    the corpus — the index tables never shuffle (new-side broadcast).
+    Detected pairs must equal the exact-Jaccard >= 0.8 pairs, and the
+    signature estimate must sit within 0.15 of exact (1.0 exactly for the
+    planted copies)."""
+    import hashlib
+
+    from hllspark import dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 300)
+    path = "/tmp/hllspark_lsh_index_" + hashlib.sha1(sf.encode()).hexdigest()[:10]
+    dedup.write_minhash_index(corpus, path)
+    new = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)).unionByName(
+        docs.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 40000).alias("doc_id"), "text"
+        )
+    )
+    matches = dedup.index_near_matches(new, path, threshold=0.8)
+    # exact verification of the estimate: join text back for true jaccard
+    withk = matches.join(
+        new.select(F.col("doc_id").alias("new_id"), F.col("text").alias("__ta")),
+        "new_id",
+    ).join(
+        corpus.select(F.col("doc_id").alias("index_id"), F.col("text").alias("__tb")),
+        "index_id",
+    )
+    from hllspark.text import shingles as _sh
+
+    ga = F.array_distinct(_sh(F.col("__ta"), 3))
+    gb = F.array_distinct(_sh(F.col("__tb"), 3))
+    true_jac = F.size(F.array_intersect(ga, gb)) / F.size(F.array_union(ga, gb))
+    return (
+        withk.select(
+            "new_id",
+            "index_id",
+            F.lit(1).alias("found"),
+            (F.abs(F.col("est_jaccard") - true_jac) <= 0.15)
+            .cast("int")
+            .alias("est_close"),
+        )
+        .orderBy("new_id", "index_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "repetition_stats_by_lang": _q_repetition_stats_by_lang,
         "pack_chunks": _q_pack_chunks,
+        "index_dedup_new_batch": _q_index_dedup_new_batch,
         "line_dedup_stats": _q_line_dedup_stats,
         "pii_redact_stats": _q_pii_redact_stats,
         "url_host_stats": _q_url_host_stats,
@@ -1645,6 +1695,27 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(dwf), 4) AS avg_dup_word_frac, "
             "round(avg(tg2), 4) AS avg_top2gram_char_frac "
             "FROM perdoc GROUP BY lang ORDER BY lang"
+        ),
+        "index_dedup_new_batch": (
+            "WITH corpus AS (SELECT doc_id, text FROM documents "
+            "  WHERE doc_id < 300), "
+            "newb AS ("
+            "  SELECT doc_id, text FROM documents "
+            "  WHERE doc_id >= 300 AND doc_id < 350"
+            "  UNION ALL"
+            "  SELECT doc_id + 40000, text FROM documents WHERE doc_id < 5), "
+            "g AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') "
+            "  for i in range(1, len(w) - 1)]) AS gs "
+            "  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+            "  AS w FROM (SELECT * FROM corpus UNION ALL SELECT * FROM newb)) "
+            "  WHERE len(w) >= 3) "
+            "SELECT n.doc_id AS new_id, c.doc_id AS index_id, "
+            "1 AS found, 1 AS est_close "
+            "FROM (SELECT g.* FROM g JOIN newb USING (doc_id)) n, "
+            "     (SELECT g.* FROM g JOIN corpus USING (doc_id)) c "
+            "WHERE len(list_intersect(n.gs, c.gs)) * 1.0 / "
+            "len(list_distinct(list_concat(n.gs, c.gs))) >= 0.8 "
+            "ORDER BY new_id, index_id"
         ),
         "pack_chunks": (
             "WITH t AS (SELECT doc_id, "

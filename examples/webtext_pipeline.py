@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
 
-from hllspark import agg, decontam, dedup, io as hio, sampling, session, sketch, text
+from hllspark import (
+    agg, curation, decontam, dedup, io as hio, sampling, session, sketch, text,
+)
 from hllspark.sketches import cpc, generic, misragries as mg
 
 
@@ -52,10 +54,25 @@ def main() -> int:
     ).count()
     assert mismatches == 0, f"{mismatches} extraction mismatches"
 
-    # 2. quality + language filter
+    # 2. quality + language filter: score-based cut, then the Gopher
+    # repetition rules via the Arrow-vectorized fast path, then PII
+    # redaction (word-soup fixture: thresholds loosened to fit its short
+    # tokens; zero PII expected and asserted)
     scored = text.quality_features(pages)
     kept = scored.where(
         (F.col("quality_score") > 0.3) & F.col("lang").isNotNull()
+    )
+    kept = curation.quality_filter(
+        kept, min_words=5, min_mean_word_len=1.0,
+        max_dup_line_frac=1.0, max_dup_line_char_frac=1.0,
+        max_top2gram_char_frac=1.0, max_top3gram_char_frac=1.0,
+        impl="arrow",
+    )
+    pii = curation.pii_features(kept)
+    n_pii = pii.agg(F.sum("pii_total")).collect()[0][0]
+    assert n_pii == 0, f"unexpected PII in synthetic corpus: {n_pii}"
+    kept = pii.withColumn("text", F.col("redacted")).drop(
+        "redacted", "n_emails", "n_phones", "n_ipv4", "pii_total"
     )
 
     # 3. dedup: exact first (collapses identical docs cheaply), then
@@ -121,6 +138,29 @@ def main() -> int:
         .collect()
     )
 
+    # 4c. boilerplate line dedup (segments shared across >20 docs removed;
+    # the single-line fixture segments on a frequent word) and GPT-style
+    # sequence packing of the train shard into 2048-token chunks
+    boiler_dropped = (
+        curation.dedup_lines(
+            near_slice, "doc_id", "text",
+            line_sep=" the ", join_sep=" the ", max_docs=20,
+        )
+        .agg(F.sum("n_lines_dropped"))
+        .collect()[0][0]
+    )
+    packed = curation.pack_sequences(
+        train.withColumn(
+            "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+        ),
+        "url", "n_tokens", 2048, num_partitions=8,
+    )
+    pack_stats = packed.agg(
+        (F.max("chunk_id") + 1).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).collect()[0]
+    assert pack_stats["n_chunks"] >= pack_stats["total_tokens"] // 2048
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -148,6 +188,8 @@ def main() -> int:
         "split_sizes": [n_train, n_val, n_test],
         "train_docs_contaminated_by_test": contaminated,
         "bm25_top_score": round(top_ranked[0]["score"], 4) if top_ranked else None,
+        "boilerplate_lines_dropped": boiler_dropped,
+        "train_chunks_2048": pack_stats["n_chunks"],
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary, default=str))

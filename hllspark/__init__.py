@@ -22,16 +22,21 @@ Layering:
 
 from . import (
     agg,
+    curation,
+    decontam,
     dedup,
     hashing,
     hll,
     hlll,
     io,
+    joins,
     jvmagg,
     lshutil,
     multimodal,
     packedvector,
+    sampling,
     session,
+    sessions,
     sketch,
     sketches,
     similarity,
@@ -41,16 +46,21 @@ from . import (
 
 __all__ = [
     "agg",
+    "curation",
+    "decontam",
     "dedup",
     "hashing",
     "hll",
     "hlll",
     "io",
+    "joins",
     "jvmagg",
     "lshutil",
     "multimodal",
     "packedvector",
+    "sampling",
     "session",
+    "sessions",
     "sketch",
     "sketches",
     "similarity",

@@ -130,6 +130,32 @@ def _minhash_signatures_df(
     return grams.select(F.col(id_col), sig.alias("__sig"))
 
 
+def _banded_df(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) from an (id, __sig) signature table.  Bands are
+    unrolled in Python: __sig referenced `bands` times keeps its projection
+    un-collapsed, so the signature is computed once per row, not per band."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("__sig"), b * rows + 1, rows),
+                            lambda h: h.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -164,28 +190,7 @@ def minhash_lsh_candidates(
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
     sig = _minhash_signatures_df(df, text_col, id_col, k, num_hashes, seed)
-    # bands unrolled in Python: __sig referenced `bands` times keeps its
-    # projection un-collapsed (signature computed once per row, not per band)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("__sig"), b * rows + 1, rows),
-                            lambda h: h.cast("string"),
-                        ),
-                        ",",
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_df(sig, id_col, bands, rows)
     # persist: the self-join's two aliases would otherwise each re-derive
     # the full signature lineage (shingling + num_hashes permutations) —
     # the banded table is tiny (#docs x bands rows of three scalars)
@@ -551,3 +556,136 @@ def simhash_near_duplicates(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index (dedup new batches against a stored corpus)
+# ---------------------------------------------------------------------------
+
+_LSH_META = "_lsh_meta.json"
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> None:
+    """Persist the corpus LSH state so FUTURE batches dedup against it
+    without re-signaturing the corpus: ``signatures/`` (id, sig) and
+    ``banded/`` (id, band, bucket) parquet tables plus a parameter
+    sidecar.  At 100 TB this is the shape incremental ingest needs — the
+    index holds ~(64 longs + 16 band rows) per document, ~1% of the
+    text, and one write amortizes over every later batch.
+
+    The parameter sidecar is written driver-side (local/posix path; swap
+    for the Hadoop FS API on an object store)."""
+    import json
+    import os
+
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    from pyspark import StorageLevel
+
+    sig = _minhash_signatures_df(df, text_col, id_col, k, num_hashes, seed)
+    sig = sig.select(F.col(id_col).alias("id"), F.col("__sig").alias("sig"))
+    if sig.storageLevel == StorageLevel.NONE:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    _banded_df(sig.select(F.col("id"), F.col("sig").alias("__sig")), "id", bands, rows) \
+        .write.mode("overwrite").parquet(f"{path}/banded")
+    sig.unpersist()
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/{_LSH_META}", "w") as fh:
+        json.dump(
+            {"k": k, "num_hashes": num_hashes, "bands": bands, "seed": seed},
+            fh,
+        )
+
+
+def index_near_matches(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, index_id, est_jaccard) for every new document whose
+    signature-estimated Jaccard against some indexed document reaches
+    ``threshold`` (estimate = fraction of equal MinHash components;
+    exactly 1.0 for exact copies).
+
+    Plan shape — the INDEX never shuffles: the new batch's banded rows
+    and candidate id lists are broadcast, so both index tables are read
+    in one map-side pass each (bucket join against ``banded/``, semi
+    fetch against ``signatures/``).  Shuffle volume is bounded by the
+    new batch x bands, independent of corpus size."""
+    import json
+
+    spark = new_docs.sparkSession
+    with open(f"{path}/{_LSH_META}") as fh:
+        meta = json.load(fh)
+    k, num_hashes = meta["k"], meta["num_hashes"]
+    bands, seed = meta["bands"], meta["seed"]
+    rows = num_hashes // bands
+    from pyspark import StorageLevel
+
+    new_sig = _minhash_signatures_df(
+        new_docs, text_col, id_col, k, num_hashes, seed
+    ).select(F.col(id_col).alias("new_id"), F.col("__sig").alias("new_sig"))
+    if new_sig.storageLevel == StorageLevel.NONE:
+        new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    new_banded = _banded_df(
+        new_sig.select(F.col("new_id").alias("id"), F.col("new_sig").alias("__sig")),
+        "id", bands, rows,
+    ).withColumnRenamed("id", "new_id")
+
+    idx_banded = spark.read.parquet(f"{path}/banded")
+    cand = (
+        idx_banded.join(F.broadcast(new_banded), ["band", "bucket"])
+        .select(F.col("new_id"), F.col("id").alias("index_id"))
+        .distinct()
+    )
+    idx_sig = spark.read.parquet(f"{path}/signatures")
+    matched = idx_sig.join(
+        F.broadcast(cand.select(F.col("index_id").alias("id")).distinct()), "id"
+    ).select(F.col("id").alias("index_id"), F.col("sig").alias("idx_sig"))
+    est = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("new_sig"), F.col("idx_sig"),
+                lambda a, b: F.when(a == b, 1).otherwise(0),
+            ),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(F.broadcast(new_sig), "new_id")
+        .join(matched, "index_id")
+        .select("new_id", "index_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """New-batch rows that are NOT near-duplicates of any INDEXED
+    document (within-batch duplicates are out of scope — run
+    deduplicate_near on the batch first, then this against the corpus).
+    Original schema preserved; anti-join on the flagged new ids."""
+    flagged = (
+        index_near_matches(new_docs, path, text_col, id_col, threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(flagged, id_col, "left_anti")

@@ -529,3 +529,90 @@ def test_deduplicate_near_matches_uncapped_on_clean_corpus(spark, docs):
         ).collect()
     }
     assert capped == uncapped
+
+
+# --------------------------------------------------- incremental LSH index
+
+
+def test_minhash_index_dedup_roundtrip(spark, tmp_path):
+    from hllspark import dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "red green blue cyan magenta yellow"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_index")
+    dedup.write_minhash_index(corpus, path)
+    new = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # exact copy of 1
+            (101, "totally fresh words nothing shared here at all"),
+            (102, "one two three four five six seven"),  # exact copy of 2
+        ],
+        "doc_id long, text string",
+    )
+    matches = {
+        (r["new_id"], r["index_id"]): r["est_jaccard"]
+        for r in dedup.index_near_matches(new, path).collect()
+    }
+    assert matches == {(100, 1): 1.0, (102, 2): 1.0}
+    survivors = sorted(
+        r["doc_id"] for r in dedup.dedup_against_index(new, path).collect()
+    )
+    assert survivors == [101]
+
+
+def test_minhash_index_matches_self_join_decisions(spark, tmp_path):
+    # decisions through the index must agree with the in-memory
+    # minhash_near_duplicates pairs on the same split (same seeds)
+    from hllspark import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(corpus, path)
+    via_index = {
+        (r["new_id"], r["index_id"])
+        for r in dedup.index_near_matches(new, path, threshold=0.9).collect()
+    }
+    # reference: self-join over the union, keep cross pairs, verify by
+    # the same signature estimate >= 0.9 (exact copies dominate)
+    pairs = dedup.minhash_lsh_candidates(docs, max_bucket_size=None)
+    sig = dedup._minhash_signatures_df(docs, "text", "doc_id", 3, 64, 7)
+    est = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("id_a"), F.col("__sig").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("id_b"), F.col("__sig").alias("sb")),
+            "id_b",
+        )
+        .withColumn(
+            "est",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sa", "sb", lambda a, b: F.when(a == b, 1).otherwise(0)
+                    ),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(64.0),
+        )
+        .where(F.col("est") >= 0.9)
+    )
+    cross = set()
+    for r in est.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:
+            nid, iid = (a, b) if a % 2 == 1 else (b, a)
+            cross.add((nid, iid))
+    assert via_index == cross
