@@ -263,7 +263,9 @@ def _repetition_features_arrow(
             else:
                 raw_lines = pc.split_pattern_regex(texts, line_sep)
             lflat_raw, ldoc_raw, _ = _list_grain(raw_lines, B)
-            lflat_t = pc.utf8_trim_whitespace(lflat_raw)
+            # Spark's trim() (and DuckDB's) strips ONLY the space character
+            # — utf8_trim_whitespace would also strip tabs etc. and diverge
+            lflat_t = pc.utf8_trim(lflat_raw, " ")
             keep = pc.not_equal(lflat_t, "").to_numpy(zero_copy_only=False)
             lflat = lflat_t.filter(pa.array(keep))
             ldoc = ldoc_raw[keep]
@@ -639,10 +641,14 @@ def pack_sequences(
     for pid in sorted(totals):
         prefix[pid] = acc
         acc += totals[pid]
-    pmap = F.create_map(
-        *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
-    )
-    end = F.col("__cum") + pmap[F.col("__pid")]
+    if prefix:
+        pmap = F.create_map(
+            *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+        )
+        offset = pmap[F.col("__pid")]
+    else:  # empty input: no partitions, no offsets
+        offset = F.lit(0).cast("long")
+    end = F.col("__cum") + offset
     start = end - n
     return (
         local.withColumn("chunk_id", F.floor(start / seq_len))

@@ -241,6 +241,7 @@ def test_repetition_impls_value_identical(spark):
         (7, "# # # spam ham spam ham"),
         (8, "  padded  text  padded  "),
         (9, "z y x w v z y x w the tail the tail"),
+        (10, "tab\tinside\na line\t\nx . . . .... end..."),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     for sep in ("\n", " the "):
@@ -262,3 +263,12 @@ def test_quality_filter_arrow_impl_same_survivors(spark):
     ke = curation.quality_filter(df, min_words=10).select("doc_id").collect()
     ka = curation.quality_filter(df, min_words=10, impl="arrow").select("doc_id").collect()
     assert ke == ka == [(1,)]
+
+
+def test_pack_sequences_empty_input(spark):
+    from hllspark.curation import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, n long")
+    out = pack_sequences(empty, "doc_id", "n", 128)
+    assert out.count() == 0
+    assert {"chunk_id", "chunk_offset", "n_chunks_spanned"} <= set(out.columns)
