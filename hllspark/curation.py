@@ -1,22 +1,26 @@
 """Web-corpus curation operators: repetition-based quality filters,
-corpus-level line deduplication, PII redaction, and URL analytics.
+corpus-level line deduplication, PII redaction, URL analytics, and
+sequence packing.
 
 These are the standard pre-training curation passes (Gopher table A1
-repetition rules, RefinedWeb/CCNet line dedup, C4-style PII scrubbing)
-re-expressed as Spark plans:
+repetition rules, RefinedWeb/CCNet line dedup, C4-style PII scrubbing,
+GPT-style concat-and-chunk batch packing) re-expressed as Spark plans:
 
 * Per-document statistics (``repetition_features``, ``pii_features``,
-  ``url_features``) are pure JVM expressions — higher-order array
-  functions and regexes evaluated row-at-a-time inside the scan stage,
-  ZERO shuffles and zero Python.  At 100 TB this is the only shape that
-  works: the filter decision for a document never needs to leave the
-  map task that read it.
-* The one genuinely corpus-global operator (``dedup_lines``: drop lines
-  that occur across more than ``max_docs`` documents) shuffles at the
-  line grain exactly twice — once to count, once to rebuild — and the
+  ``url_features``) never shuffle.  impl='expr' keeps them pure JVM
+  expressions inside the scan stage (plan-composable, oracle-matched);
+  impl='arrow' routes the repetition statistics through mapInArrow with
+  pyarrow C kernels + numpy code arrays for full-corpus throughput
+  (value-identical, PLANS.md §21).  At 100 TB this is the only shape
+  that works: the filter decision for a document never leaves the map
+  task that read it.
+* The corpus-global operators are shuffle-bounded: ``dedup_lines``
+  shuffles at the line grain exactly twice (count, rebuild) and its
   removal join is a left-anti against only the *over-threshold* lines
-  (the heavy hitters, a tiny broadcast-eligible set), never against the
-  full line inventory.
+  (the heavy hitters, a tiny broadcast-eligible set); ``pack_sequences``
+  computes the global ordered cumulative token sum with a range shuffle
+  + per-partition window + a one-row-per-partition prefix collect,
+  never a single-partition global window.
 
 All regex patterns are restricted to the Java-regex ∩ RE2 common subset
 so the DuckDB contract oracles run the byte-identical pattern.
