@@ -1503,6 +1503,34 @@ def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_quality_filter_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The END operator of the Gopher pipeline (hllspark/curation.py
+    quality_filter) through the mapInArrow fast path: thresholds tuned to
+    split the fixture ~380/500; the DuckDB oracle replicates every
+    predicate (word count, mean word length, dup-segment fractions,
+    top-2/3-gram coverage) at per-doc grain.  Every fraction is an exact
+    IEEE division of integers, so threshold comparisons agree bit-for-bit
+    across engines."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    kept = curation.quality_filter(
+        docs,
+        line_sep=" the ",
+        min_words=20,
+        max_words=100_000,
+        min_mean_word_len=1.0,
+        max_mean_word_len=10.0,
+        max_symbol_word_ratio=0.1,
+        max_dup_line_frac=0.35,
+        max_dup_line_char_frac=0.5,
+        max_top2gram_char_frac=0.095,
+        max_top3gram_char_frac=0.12,
+        impl="arrow",
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def _q_index_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental near-dup index (hllspark/dedup.py write_minhash_index /
     index_near_matches): docs < 300 are indexed once (signatures + banded
@@ -1555,6 +1583,7 @@ def _q_index_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "repetition_stats_by_lang": _q_repetition_stats_by_lang,
+        "quality_filter_survivors": _q_quality_filter_survivors,
         "pack_chunks": _q_pack_chunks,
         "index_dedup_new_batch": _q_index_dedup_new_batch,
         "line_dedup_stats": _q_line_dedup_stats,
@@ -1695,6 +1724,58 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(dwf), 4) AS avg_dup_word_frac, "
             "round(avg(tg2), 4) AS avg_top2gram_char_frac "
             "FROM perdoc GROUP BY lang ORDER BY lang"
+        ),
+        "quality_filter_survivors": (
+            "WITH base AS (SELECT doc_id, text, length(text) AS n_chars, "
+            "  string_split(text, ' the ') AS segs, "
+            "  regexp_split_to_array(trim(text), '\\s+') AS words "
+            "  FROM documents), "
+            "ex AS (SELECT doc_id, trim(segs[i]) AS line FROM base, "
+            "  unnest(generate_series(1, len(segs))) t(i) "
+            "  WHERE trim(segs[i]) <> ''), "
+            "segstats AS (SELECT doc_id, count(*) AS n_lines, "
+            "  count(DISTINCT line) AS n_dlines, sum(length(line)) AS line_chars, "
+            "  sum(CASE WHEN cnt > 1 THEN length(line) ELSE 0 END) AS dup_chars "
+            "  FROM (SELECT doc_id, line, count(*) OVER "
+            "    (PARTITION BY doc_id, line) AS cnt FROM ex) s GROUP BY doc_id), "
+            "wx AS (SELECT doc_id, words[i] AS w FROM base, "
+            "  unnest(generate_series(1, len(words))) t(i)), "
+            "wstats AS (SELECT doc_id, count(*) AS n_words, "
+            "  sum(length(w)) AS wchars FROM wx GROUP BY doc_id), "
+            "g2 AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS gram "
+            "  FROM base, unnest(generate_series(1, len(words) - 1)) t(i) "
+            "  WHERE len(words) >= 2), "
+            "b2 AS (SELECT doc_id, c * length(gram) AS covered FROM "
+            "  (SELECT doc_id, gram, count(*) AS c, row_number() OVER "
+            "   (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn "
+            "   FROM g2 GROUP BY doc_id, gram) WHERE rn = 1), "
+            "g3 AS (SELECT doc_id, "
+            "  words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram "
+            "  FROM base, unnest(generate_series(1, len(words) - 2)) t(i) "
+            "  WHERE len(words) >= 3), "
+            "b3 AS (SELECT doc_id, c * length(gram) AS covered FROM "
+            "  (SELECT doc_id, gram, count(*) AS c, row_number() OVER "
+            "   (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn "
+            "   FROM g3 GROUP BY doc_id, gram) WHERE rn = 1), "
+            "perdoc AS (SELECT b.doc_id, w.n_words, "
+            "  w.wchars * 1.0 / w.n_words AS mwl, "
+            "  ((length(b.text) - length(replace(b.text, '#', ''))) "
+            "   + (length(b.text) - length(replace(b.text, '...', ''))) / 3) "
+            "   * 1.0 / w.n_words AS swr, "
+            "  COALESCE((s.n_lines - s.n_dlines) * 1.0 / NULLIF(s.n_lines, 0), "
+            "    0) AS dlf, "
+            "  COALESCE(s.dup_chars * 1.0 / NULLIF(s.line_chars, 0), 0) AS dlcf, "
+            "  COALESCE(b2.covered * 1.0 / NULLIF(b.n_chars, 0), 0) AS tg2, "
+            "  COALESCE(b3.covered * 1.0 / NULLIF(b.n_chars, 0), 0) AS tg3 "
+            "  FROM base b LEFT JOIN segstats s USING (doc_id) "
+            "  LEFT JOIN wstats w USING (doc_id) "
+            "  LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)) "
+            # the fixture has no '...' runs, so swr reduces to the '#' count
+            "SELECT doc_id FROM perdoc "
+            "WHERE n_words BETWEEN 20 AND 100000 "
+            "AND mwl BETWEEN 1.0 AND 10.0 AND swr <= 0.1 "
+            "AND dlf <= 0.35 AND dlcf <= 0.5 AND tg2 <= 0.095 AND tg3 <= 0.12 "
+            "ORDER BY doc_id"
         ),
         "index_dedup_new_batch": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "
