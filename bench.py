@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from hllspark import agg, curation, decontam, dedup, joins, sessions
+from hllspark.text import words_col
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -282,7 +283,7 @@ def main() -> None:
         "q18_pack_pages_2m": lambda: curation.pack_sequences(
             pages.select(
                 "url",
-                F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+                F.size(words_col(F.col("text"))).alias("n_tokens"),
             ),
             "url",
             "n_tokens",
@@ -307,6 +308,14 @@ def main() -> None:
 
     results = {name: round(timed(fn), 4) for name, fn in queries.items()}
     total = round(sum(results.values()), 4)
+    # floor-normalized timings: each query divided by the hash-only floor
+    # b0 (a constant workload), so round-over-round comparisons factor out
+    # host drift — the r2->r3 comparison was unreadable until normalized
+    # by b0 by hand (VERDICT r3)
+    floor = results["b0_hashonly_20m"]
+    normalized = {
+        name: round(sec / floor, 3) for name, sec in results.items()
+    }
     extra = {
         "cpus": CPUS,
         "reps": REPS,
@@ -342,6 +351,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_normalized": normalized,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "extra": extra,
             }

@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .decontam import ngram_col
+from .text import words_col
 
 # ---------------------------------------------------------------------------
 # segmentation helpers
@@ -167,13 +168,17 @@ def repetition_features(
         raise ValueError("impl must be 'expr' or 'arrow'")
     t = F.col(text_col)
     lines = segments(t, line_sep)
-    words = F.split(F.trim(t), r"\s+")
+    words = words_col(t)
     n_words = F.size(words)
     n_lines = F.size(lines)
     bullet = F.size(
         F.filter(lines, lambda x: x.rlike(r"^(\-|\*|•)"))
     )
-    ellipsis = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    # \z (end of TEXT), not $: Java's $ also matches before a final line
+    # terminator while RE2's does not — \z means the same thing in both
+    # engines, so expr, arrow and the DuckDB oracles agree on segments
+    # that end with a newline (possible whenever line_sep is not '\n')
+    ellipsis = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\z")))
     hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     dots = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
     out = (
@@ -286,7 +291,7 @@ def _repetition_features_arrow(
                 )
                 lchars = np.bincount(ldoc, weights=llen[lcodes], minlength=B)
                 bull = pc.match_substring_regex(lflat, r"^(\-|\*|•)")
-                ell = pc.match_substring_regex(lflat, r"(\.\.\.|…)$")
+                ell = pc.match_substring_regex(lflat, r"(\.\.\.|…)\z")
                 nbull = np.bincount(
                     ldoc, weights=bull.to_numpy(zero_copy_only=False), minlength=B
                 )
@@ -304,11 +309,10 @@ def _repetition_features_arrow(
             out["ellipsis_line_frac"] = np.where(nl > 0, nell / nl_safe, 0.0)
 
             # ---- words -------------------------------------------------
-            # ascii_split_whitespace == Java \s+ on trimmed text (both are
-            # ASCII [ \t\n\v\f\r] runs) and is 3.3x faster than the RE2
-            # regex split, but it emits empty tokens at text edges —
-            # filter them; the remaining divergence is blank text
-            # ([''] vs []) where every numerator is 0 anyway
+            # ascii_split_whitespace == Java \s+ (both split on ASCII
+            # [ \t\n\v\f\r] runs) and is 3.3x faster than the RE2 regex
+            # split; it emits empty tokens at text edges — filter them,
+            # exactly like words_col does on the expr path
             words_list = pc.ascii_split_whitespace(texts)
             flat, doc, _ = _list_grain(words_list, B)
             nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
@@ -331,8 +335,6 @@ def _repetition_features_arrow(
             out["dup_word_frac"] = np.where(nw > 0, (nw - ndw) / nw_safe, 0.0)
             hashes = pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
             dots = pc.count_substring(texts, "...").to_numpy(zero_copy_only=False)
-            # expr-path denominator counts the [''] token of blank text;
-            # the numerator is 0 there either way, so the values agree
             out["symbol_word_ratio"] = np.where(
                 nw > 0, (hashes + dots) / nw_safe, 0.0
             )
@@ -414,7 +416,7 @@ def quality_filter(
     impl='arrow' to route the repetition statistics through the
     vectorized mapInArrow path for full-corpus runs."""
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
+    words = words_col(t)
     n_words = F.size(words)
     mean_wl = _safe_div(
         F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
@@ -456,11 +458,17 @@ def dedup_lines(
     rebuilt document (empty string when everything was boilerplate).
 
     Plan: posexplode segments (line grain) -> count distinct docs per
-    line hash (map-side partial agg) -> the over-threshold hashes only
-    (heavy hitters — a small set, AQE will broadcast it) -> left-anti
-    join -> rebuild per doc from (pos, line) pairs.  Shuffles: the count
-    agg and the rebuild agg, both keyed to avoid skew (hash / doc id);
-    the full line inventory is never joined against itself.
+    (line hash, line) (map-side partial agg) -> the over-threshold lines
+    only (heavy hitters — a small set, AQE will broadcast it) ->
+    left-anti join -> rebuild per doc from (pos, line) pairs.  Shuffles:
+    the count agg and the rebuild agg, both keyed to avoid skew (hash /
+    doc id); the full line inventory is never joined against itself.
+    The anti-join key carries the LINE STRING alongside its 64-bit hash:
+    at 10^11 lines, xxhash64 birthday collisions are expected, and a
+    hash-only key would silently delete any line colliding with a
+    boilerplate hash (and inflate its distinct-doc count).  The hash
+    stays in the key so shuffle comparisons stay cheap; the string makes
+    the decision exact.
     """
     raw = F.split(F.col(text_col), line_sep)
     ex = (
@@ -470,12 +478,12 @@ def dedup_lines(
         .select("__id", "pos", F.col("col").alias("line"), F.xxhash64("col").alias("h"))
     )
     bad = (
-        ex.groupBy("h")
+        ex.groupBy("h", "line")
         .agg(F.countDistinct("__id").alias("nd"))
         .where(F.col("nd") > max_docs)
-        .select("h")
+        .select("h", "line")
     )
-    kept = ex.join(bad, "h", "left_anti")
+    kept = ex.join(bad, ["h", "line"], "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(
@@ -612,7 +620,15 @@ def pack_sequences(
     the classic two-phase formulation instead — range-repartition on the
     order column, per-partition window cumsum, then a driver collect of
     ONE row per partition (bounded by the partition count, never by the
-    data) whose running totals are folded back in as a broadcast map.
+    data) whose running totals re-enter the plan as a broadcast-joined
+    (pid, offset) DataFrame — NOT a ``create_map`` literal, which would
+    put one expression-tree entry per partition in the plan and become a
+    driver/plan-size burden at 100k partitions.  The cumsum grain is
+    ``localCheckpoint(eager=True)``-materialized so the range shuffle +
+    sort run exactly once across the totals job and the returned plan,
+    and the blocks are released when the result goes out of scope (an
+    explicit ``persist`` here would pin MEMORY_AND_DISK blocks for the
+    session lifetime with no handle to unpersist).
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
@@ -629,30 +645,25 @@ def pack_sequences(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # the sorted/cumsum grain feeds both the totals collect and the result
-    # plan — persist so the range shuffle + sort run once
     local = (
         parts.withColumn("__pid", F.spark_partition_id())
         .withColumn("__cum", F.sum(n).over(w))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # one row per partition — bounded driver collect, independent of |df|
     totals = {
         r["__pid"]: r["t"]
         for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
     }
-    prefix, acc = {}, 0
+    rows, acc = [], 0
     for pid in sorted(totals):
-        prefix[pid] = acc
+        rows.append((pid, acc))
         acc += totals[pid]
-    if prefix:
-        pmap = F.create_map(
-            *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
-        )
-        offset = pmap[F.col("__pid")]
-    else:  # empty input: no partitions, no offsets
-        offset = F.lit(0).cast("long")
-    end = F.col("__cum") + offset
+    off_df = df.sparkSession.createDataFrame(
+        rows, "__pid int, __off long"
+    ) if rows else df.sparkSession.createDataFrame([], "__pid int, __off long")
+    local = local.join(F.broadcast(off_df), "__pid", "left")
+    end = F.col("__cum") + F.coalesce(F.col("__off"), F.lit(0).cast("long"))
     start = end - n
     return (
         local.withColumn("chunk_id", F.floor(start / seq_len))
@@ -663,7 +674,7 @@ def pack_sequences(
             .otherwise(F.lit(0))
             .cast("long"),
         )
-        .drop("__pid", "__cum")
+        .drop("__pid", "__cum", "__off")
     )
 
 

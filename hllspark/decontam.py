@@ -31,6 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from . import joins
+from .text import words_col
 
 
 def ngram_col(text: Column, n: int) -> Column:
@@ -47,9 +48,9 @@ def ngram_col(text: Column, n: int) -> Column:
     through concat, and are filtered off."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    words = F.split(F.trim(text), r"\s+")
+    words = words_col(text)
     if n == 1:
-        return words
+        return F.coalesce(words, F.array().cast("array<string>"))
     size = F.size(words)
     grams = words
     for k in range(1, n):

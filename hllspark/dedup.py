@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .text import content_fingerprint, shingles
+from .text import content_fingerprint, shingles, words_col
 
 
 # ---------------------------------------------------------------------------
@@ -111,9 +111,7 @@ def _minhash_signatures_df(
     Docs with fewer than k tokens (no shingles) are pre-filtered with a
     cheap pushable predicate.  Signature values are identical to
     minhash_signature."""
-    has_shingles = (
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= F.lit(k)
-    ) & (F.trim(F.col(text_col)) != "")
+    has_shingles = F.size(words_col(F.col(text_col))) >= F.lit(k)
     grams = df.where(has_shingles).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("__grams")
     )
@@ -422,9 +420,7 @@ def deduplicate_near(
     so they are also excluded from the exact collapse, keeping this
     operator's keep-set exactly the jaccard-threshold definition the
     exhaustive oracle computes."""
-    has_shingles = (
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= F.lit(k)
-    ) & (F.trim(F.col(text_col)) != "")
+    has_shingles = F.size(words_col(F.col(text_col))) >= F.lit(k)
     fp = df.select(
         F.col(id_col),
         F.when(has_shingles, content_fingerprint(F.col(text_col))).alias(
@@ -470,7 +466,7 @@ def deduplicate_near(
 def simhash(text, seed: int = 11):
     """64-bit SimHash of the whitespace tokens, pure SQL: for each bit b,
     the sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1)."""
-    words = F.split(F.trim(text), r"\s+")
+    words = words_col(text)
     hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
 
     def bit(b):  # b: Column bit index
@@ -608,6 +604,53 @@ def write_minhash_index(
         )
 
 
+def append_to_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Promote a (already deduplicated) batch into an existing index
+    WITHOUT rewriting it: the batch's signatures and banded rows are
+    parquet-appended and the parameter sidecar's ``appends`` counter is
+    bumped.  Signature parameters (k, num_hashes, bands, seed) come from
+    the sidecar, so appended rows are always comparable with the
+    original corpus rows.  The intended ingest loop::
+
+        batch = deduplicate_near(batch, ...)          # within-batch
+        survivors = dedup_against_index(batch, path)  # vs corpus
+        append_to_index(survivors, path)              # promote
+
+    Note the loop's keep-set is first-arrival-wins; a one-shot
+    ``deduplicate_near`` over the concatenated corpus keeps min-id per
+    near-dup component instead.  The two agree whenever near-duplicate
+    chains do not straddle batches (A~B, B~C with A,C unrelated in
+    different batches keeps {A, C} here but {A} in one shot).
+    """
+    import json
+
+    with open(f"{path}/{_LSH_META}") as fh:
+        meta = json.load(fh)
+    k, num_hashes = meta["k"], meta["num_hashes"]
+    bands, seed = meta["bands"], meta["seed"]
+    rows = num_hashes // bands
+    from pyspark import StorageLevel
+
+    sig = _minhash_signatures_df(new_docs, text_col, id_col, k, num_hashes, seed)
+    sig = sig.select(F.col(id_col).alias("id"), F.col("__sig").alias("sig"))
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sig.write.mode("append").parquet(f"{path}/signatures")
+        _banded_df(
+            sig.select(F.col("id"), F.col("sig").alias("__sig")), "id", bands, rows
+        ).write.mode("append").parquet(f"{path}/banded")
+    finally:
+        sig.unpersist()
+    meta["appends"] = meta.get("appends", 0) + 1
+    with open(f"{path}/{_LSH_META}", "w") as fh:
+        json.dump(meta, fh)
+
+
 def index_near_matches(
     new_docs: DataFrame,
     path: str,
@@ -633,13 +676,18 @@ def index_near_matches(
     k, num_hashes = meta["k"], meta["num_hashes"]
     bands, seed = meta["bands"], meta["seed"]
     rows = num_hashes // bands
-    from pyspark import StorageLevel
 
+    # localCheckpoint, not persist: the batch signatures feed both the
+    # banded build and the final estimate join, but the returned plan
+    # escapes this function, so an explicit persist could never be
+    # unpersisted and would pin blocks for the session lifetime.
+    # Checkpoint blocks are released when the result is GC'd.  The new
+    # batch is small by contract (that is the point of the index).
     new_sig = _minhash_signatures_df(
         new_docs, text_col, id_col, k, num_hashes, seed
-    ).select(F.col(id_col).alias("new_id"), F.col("__sig").alias("new_sig"))
-    if new_sig.storageLevel == StorageLevel.NONE:
-        new_sig = new_sig.persist(StorageLevel.MEMORY_AND_DISK)
+    ).select(
+        F.col(id_col).alias("new_id"), F.col("__sig").alias("new_sig")
+    ).localCheckpoint(eager=True)
     new_banded = _banded_df(
         new_sig.select(F.col("new_id").alias("id"), F.col("new_sig").alias("__sig")),
         "id", bands, rows,

@@ -167,10 +167,12 @@ def _statemachine(args, p, dt, data, flags, mode):
 def _cpc(args, dt, data, mode):
     """CPC coupon-sketch baseline (§2.6; reference vendored DataSketches
     CPC, datasketches/measure.cpp:161-169).  Same 5-line protocol with
-    bitsize = our DEFLATE transport length, plus a 6th line
-    `cpcEntropyBits` — the first-order entropy bound an arithmetic coder
-    (what DataSketches ships) would approach — so the size column compares
-    apples-to-apples against the reference's CPC numbers."""
+    bitsize = the ENUMERATIVE wire format (encode_entropy, round 4 — an
+    actual entropy coder, provably at-or-below the per-column entropy
+    bound plus the gamma'd counts), plus a 6th line `cpcEntropyBits` —
+    the first-order entropy bound itself — so the size column compares
+    apples-to-apples against the reference's arithmetic-coded CPC
+    numbers AND the bound-vs-achieved gap is visible per run."""
     from .sketches import cpc as _cpcmod
 
     k = args.m  # registers -> coupon rows
@@ -189,7 +191,7 @@ def _cpc(args, dt, data, mode):
     _report(
         seconds,
         _cpcmod.estimate(st),
-        8 * len(_cpcmod.encode(st)),
+        8 * len(_cpcmod.encode_entropy(st)),
         0,
         0,
     )

@@ -64,14 +64,24 @@ def extract_features(
     """media rows -> (id, feature array<float>) via Arrow-batched
     mapInPandas.  Batch shape: whole Arrow batches, one numpy pass per
     batch — no per-row Python beyond the byte-object iteration that any
-    codec call requires."""
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg, not present in this "
-            "container — wire the codec call into _decode_bytes_fake's seam"
-        )
-    if decoder != "fake":
+    codec call requires.
+
+    ``decoder='real'`` (round 4) actually decodes the codec-free
+    formats — PNG via stdlib zlib + numpy defiltering, WAV PCM16 via raw
+    slicing (decode_png / decode_wav below) — and raises at the
+    documented seam only for formats that genuinely need a codec library
+    (JPEG's DCT, video).  ``decoder='fake'`` keeps the deterministic
+    byte-pattern stand-in for plumbing tests."""
+    if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _bucket_means(raw: np.ndarray) -> np.ndarray:
+        if len(raw) < FEATURE_DIM:
+            raw = np.pad(raw, (0, FEATURE_DIM - len(raw)))
+        idx = (np.arange(FEATURE_DIM, dtype=np.int64) * len(raw)) // FEATURE_DIM
+        sums = np.add.reduceat(raw.astype(np.float64), idx)
+        counts = np.diff(np.r_[idx, len(raw)])
+        return (sums / counts).astype(np.float32)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,11 +89,25 @@ def extract_features(
                 continue
             feats = []
             for payload in pdf[payload_col]:
-                raw = _decode_bytes_fake(bytes(payload))
-                # pseudo feature: FEATURE_DIM bucket means of the decode
-                feats.append(
-                    raw.reshape(FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
-                )
+                b = bytes(payload)
+                if decoder == "fake":
+                    raw = _decode_bytes_fake(b)
+                    # pseudo feature: FEATURE_DIM bucket means of the decode
+                    feats.append(
+                        raw.reshape(FEATURE_DIM, -1).mean(axis=1).astype(np.float32)
+                    )
+                    continue
+                fmt = sniff_format(b)
+                if fmt == "png":
+                    raw = decode_png(b).astype(np.float32).ravel()
+                elif fmt == "wav":
+                    raw = decode_wav(b)[1].astype(np.float32)
+                else:
+                    raise NotImplementedError(
+                        f"real decode of {fmt!r} requires a codec library "
+                        "(JPEG DCT / video) — the one remaining seam"
+                    )
+                feats.append(_bucket_means(raw))
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "features": [f.tolist() for f in feats]}
             )
@@ -216,13 +240,54 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
     return df.withColumn("media_meta", meta(F.col(payload_col)))
 
 
-# minimal-but-valid container builders (the encode side of the header
-# parsers; used by fixtures and tests — real byte layouts, no codec libs)
+# container builders (the encode side of the header parsers; used by
+# fixtures and tests — real byte layouts, no codec libs).  make_png /
+# make_wav emit FULLY VALID files (CRC'd chunks, zlib'd IDAT scanlines /
+# PCM16 data chunk) when given pixel/sample content, so the real decoders
+# below have an honest fixture corpus.
 
-def make_png(width: int, height: int) -> bytes:
-    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
-    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr
-            + b"\x00" * 8)
+import zlib as _zlib
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + _zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def png_pixel(seed: int, y, x, c):
+    """The fixture pixel function: (seed + 7y + 13x + 31c) mod 256 — a
+    closed form a SQL oracle can re-compute with generate_series."""
+    return (seed + 7 * y + 13 * x + 31 * c) % 256
+
+
+def make_png(width: int, height: int, seed: int | None = None) -> bytes:
+    """8-bit RGB PNG.  With ``seed``: valid IHDR+IDAT+IEND where
+    pixel[y, x, c] = png_pixel(seed, y, x, c), scanline filter 0.
+    Without: the legacy header-only stub (IHDR, no image data)."""
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+    if seed is None:
+        return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                + ihdr + b"\x00" * 8)
+    y, x, c = np.ogrid[0:height, 0:width, 0:3]
+    px = png_pixel(seed, y, x, c).astype(np.uint8)
+    scanlines = np.concatenate(
+        [np.zeros((height, 1), dtype=np.uint8), px.reshape(height, width * 3)],
+        axis=1,
+    )
+    idat = _zlib.compress(scanlines.tobytes(), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def make_jpeg(width: int, height: int) -> bytes:
@@ -233,20 +298,137 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
-def make_wav(sample_rate: int) -> bytes:
+def wav_sample(seed: int, i):
+    """Fixture PCM16 sample i: ((seed * 31 + i * 17) mod 65536) - 32768."""
+    return (seed * 31 + i * 17) % 65536 - 32768
+
+
+def make_wav(sample_rate: int, seed: int | None = None, n_samples: int = 0) -> bytes:
+    """Mono PCM16 WAV; with seed/n_samples, a real data chunk where
+    sample[i] = wav_sample(seed, i)."""
+    if seed is not None and n_samples > 0:
+        data = (
+            wav_sample(seed, np.arange(n_samples)).astype("<i2").tobytes()
+        )
+    else:
+        data = b""
     fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
            + (1).to_bytes(2, "little") + sample_rate.to_bytes(4, "little")
-           + b"\x00" * 8)
-    return b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + fmt
+           + (sample_rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for the codec-free formats (round 4): PNG is zlib (stdlib) +
+# per-scanline defiltering (numpy), WAV PCM is raw slicing.  JPEG remains
+# the one documented NotImplementedError seam (it genuinely needs a DCT
+# codec library not present in this container).
+# ---------------------------------------------------------------------------
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(height, width, 3) uint8 array from an 8-bit RGB (color type 2,
+    non-interlaced) PNG.  Chunk walk -> concatenated IDAT -> zlib
+    inflate -> per-scanline defilter.  Filters: None/Up are vectorized;
+    Sub is a per-channel uint8 cumulative sum (wraparound IS the mod-256
+    the spec wants); Average/Paeth fall back to a per-pixel loop."""
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    i, n = 8, len(payload)
+    width = height = None
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+            if (bit_depth, color_type) != (8, 2) or interlace:
+                raise NotImplementedError(
+                    "decode_png supports 8-bit RGB non-interlaced only"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(_zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = width * 3 + 1
+    if len(raw) != height * stride:
+        raise ValueError("PNG scanline payload length mismatch")
+    rows = raw.reshape(height, stride)
+    out = np.zeros((height, width * 3), dtype=np.uint8)
+    prev = np.zeros(width * 3, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].copy()
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prev  # uint8 wraparound == mod 256
+        elif ftype == 1:  # Sub: per-channel cumsum, uint8 wraparound
+            rec = np.add.accumulate(
+                line.reshape(width, 3), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        else:  # Average (3) / Paeth (4): left-neighbor sequential
+            rec = np.zeros(width * 3, dtype=np.uint8)
+            for k in range(width * 3):
+                a = int(rec[k - 3]) if k >= 3 else 0
+                b = int(prev[k])
+                if ftype == 3:
+                    rec[k] = (int(line[k]) + (a + b) // 2) % 256
+                elif ftype == 4:
+                    cul = int(prev[k - 3]) if k >= 3 else 0
+                    p = a + b - cul
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cul)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else cul
+                    rec[k] = (int(line[k]) + pred) % 256
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(height, width, 3)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, int16 samples) from a PCM16 RIFF/WAVE payload."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, rate, samples = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (audio_format, bits) != (1, 16):
+                raise NotImplementedError("decode_wav supports PCM16 only")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            samples = np.frombuffer(body[: len(body) // 2 * 2], dtype="<i2")
+        i += 8 + clen + (clen & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
 
 
 def synthesize_media_containers(
     spark, n: int, num_partitions: int = 8
 ) -> DataFrame:
-    """Deterministic media table with REAL container headers: id % 3 picks
-    png (width=id%100+1, height=id%50+1) / jpeg (width=id%64+1,
-    height=id%32+1) / wav (rate=8000+(id%4)*8000).  Arrow-batched
-    generation; a pure function of id on any partitioning."""
+    """Deterministic media table with REAL container payloads: id % 3
+    picks png (width=id%100+1, height=id%50+1, pixels = png_pixel(id,..))
+    / jpeg (width=id%64+1, height=id%32+1, headers only — the codec seam)
+    / wav (rate=8000+(id%4)*8000, 160+id%100 PCM16 samples =
+    wav_sample(id,..)).  Arrow-batched generation; a pure function of id
+    on any partitioning, and the pixel/sample functions are closed-form
+    so SQL oracles can recompute decoded-content statistics exactly."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -256,11 +438,14 @@ def synthesize_media_containers(
                 i = int(i)
                 k = i % 3
                 if k == 0:
-                    payloads.append(make_png(i % 100 + 1, i % 50 + 1))
+                    payloads.append(make_png(i % 100 + 1, i % 50 + 1, seed=i))
                 elif k == 1:
                     payloads.append(make_jpeg(i % 64 + 1, i % 32 + 1))
                 else:
-                    payloads.append(make_wav(8000 + (i % 4) * 8000))
+                    payloads.append(
+                        make_wav(8000 + (i % 4) * 8000, seed=i,
+                                 n_samples=160 + i % 100)
+                    )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return spark.range(n, numPartitions=num_partitions).mapInPandas(

@@ -123,6 +123,16 @@ def sketch_agg(
         yield out
 
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Variable-size-state path (KLL / t-digest / KMV / Misra-Gries):
+        per batch, stable-argsort the group codes ONCE and feed each
+        group's values as a contiguous numpy slice — segment boundaries
+        from one vectorized neighbor-compare.  The old formulation masked
+        the whole batch per distinct key (``codes == code``), i.e.
+        O(G x B) comparisons per batch, which dominated at high key
+        cardinality (A/B at 100k keys in PLANS.md §23).  The stable sort
+        preserves within-group encounter order, so order-sensitive
+        updates (KLL compaction) stay byte-identical to the masked fold,
+        and segments ascend by code exactly like np.unique did."""
         acc: dict[tuple, object] = {}
         key_rows: dict[tuple, pd.DataFrame] = {}
         for pdf in batches:
@@ -130,15 +140,20 @@ def sketch_agg(
                 continue
             if keys:
                 codes = pdf.groupby(keys, dropna=False, sort=False).ngroup().to_numpy()
-                uniq, first_idx = np.unique(codes, return_index=True)
-                key_df = pdf[keys].iloc[first_idx]
-                for row_i, code in enumerate(uniq):
-                    kt = tuple(key_df.iloc[row_i])
-                    vals = pdf[value_col].iloc[codes == code]
-                    if kt not in acc:
-                        acc[kt] = kind.zero()
-                        key_rows[kt] = key_df.iloc[row_i : row_i + 1]
-                    acc[kt] = kind.update(acc[kt], vals)
+                order = np.argsort(codes, kind="stable")
+                sc = codes[order]
+                sv = pdf[value_col].to_numpy()[order]
+                seg = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                ends = np.r_[seg[1:], len(sc)]
+                key_df = pdf[keys].iloc[order[seg]]
+                for i, kt in enumerate(
+                    key_df.itertuples(index=False, name=None)
+                ):
+                    st = acc.get(kt)
+                    if st is None:
+                        st = kind.zero()
+                        key_rows[kt] = key_df.iloc[i : i + 1]
+                    acc[kt] = kind.update(st, sv[seg[i] : ends[i]])
             else:
                 if () not in acc:
                     acc[()] = kind.zero()

@@ -37,11 +37,25 @@ def extract_text(html: Column) -> Column:
 # shingling (for distinct-shingle cardinality + minhash dedup)
 # ---------------------------------------------------------------------------
 
+def words_col(text: Column) -> Column:
+    """THE whitespace tokenizer for the whole engine: ``split(text, \\s+)``
+    with empty tokens removed.  Splitting the raw text and filtering (rather
+    than ``split(trim(text))``) is deliberate: ``trim`` strips only the
+    space character, so text with leading/trailing tabs or newlines would
+    keep empty edge tokens and diverge from the Arrow fast path (which
+    filters empties) and from any sane word count.  Null text yields null
+    (callers coalesce where an empty array is wanted).  Every module
+    (curation, decontam, dedup, text) and every DuckDB contract oracle
+    uses this exact definition:
+    ``list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')``."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> column — pure SQL: split on
     whitespace, then a sliding window via transform over index range.
     Deterministic per text value."""
-    words = F.split(F.trim(text), r"\s+")
+    words = words_col(text)
     n = F.size(words) - F.lit(k - 1)
     # sequence(1, n) is DESCENDING for n < 1 — guard with an empty array
     return F.when(n < 1, F.array().cast("array<string>")).otherwise(
@@ -62,10 +76,9 @@ def explode_shingles(df: DataFrame, text_col: str = "text", k: int = 3,
 # ---------------------------------------------------------------------------
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (JVM)."""
-    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
-    )
+    """Whitespace token count (JVM).  Blank / whitespace-only text counts
+    0; null text counts null."""
+    return F.size(words_col(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -90,7 +103,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     Adds: n_chars, n_tokens, punct_ratio, stopword_ratio, mean_word_len,
     quality_score (a simple monotone combination in [0, 1])."""
     t = F.col(text_col)
-    words = F.split(F.trim(t), r"\s+")
+    words = words_col(t)
     n_chars = F.length(t)
     n_tokens = token_count(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -191,10 +204,10 @@ def explode_tokens(
 ) -> DataFrame:
     """(id, token) — lowercased whitespace tokens, one row each (codegen
     split + explode; empty/whitespace-only texts yield no rows)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = words_col(F.lower(F.col(text_col)))
     return df.select(
         F.col(id_col).alias("id"), F.explode(toks).alias("token")
-    ).where(F.col("token") != "")
+    )
 
 
 def bm25_scores(
@@ -222,17 +235,11 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     toks = explode_tokens(df, text_col, id_col)
-    # token count per doc WITHOUT exploding: size(split) equals the
-    # explode-based count (trim removes edge empties; fully-blank text
-    # splits to [''] which the CASE zeroes out)
+    # token count per doc WITHOUT exploding: size(words_col) equals the
+    # explode-based count exactly (empty tokens filtered on both paths)
     dl = df.select(
         F.col(id_col).alias("id"),
-        F.when(
-            F.trim(F.col(text_col)) == "", F.lit(0)
-        )
-        .otherwise(F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
-        .cast("long")
-        .alias("dl"),
+        F.size(words_col(F.lower(F.col(text_col)))).cast("long").alias("dl"),
     ).where(F.col("dl") > 0)
     hits = toks.where(F.col("token").isin(terms))
     # tf feeds BOTH the df-per-term aggregate and the scoring join; persist

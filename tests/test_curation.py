@@ -242,6 +242,13 @@ def test_repetition_impls_value_identical(spark):
         (8, "  padded  text  padded  "),
         (9, "z y x w v z y x w the tail the tail"),
         (10, "tab\tinside\na line\t\nx . . . .... end..."),
+        # text-EDGE non-space whitespace: trim() strips only spaces, so a
+        # split(trim(t)) tokenizer would keep empty edge tokens here and
+        # diverge from the arrow path (ADVICE r3) — words_col must not
+        (11, "\tfoo foo"),
+        (12, "foo foo\n"),
+        (13, "\n x... the y...\n"),  # segment ending '\n': Java $ vs RE2 $
+        (14, "\t\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     for sep in ("\n", " the "):

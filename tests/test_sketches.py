@@ -535,3 +535,48 @@ def test_grouped_scatter_path_byte_equals_fold_path(spark):
         }
         assert fast == fold, kk.name
         assert len(fast) == 300, kk.name
+
+
+# ------------------------------------------------- CPC enumerative coder
+
+
+def test_cpc_entropy_coder_roundtrip_and_size():
+    """encode_entropy <-> decode is byte-exact on the matrix; the wire
+    payload tracks the first-order entropy bound (provably <= bound +
+    gamma'd counts; measured <=10% over at the default k in the
+    realistic fill regime, small absolute header floor when near-empty);
+    the DEFLATE format stays decodable."""
+    from hllspark.sketches import cpc
+
+    rng = np.random.default_rng(11)
+    for k in (256, 2048):
+        for n in (0, 7, 300, 20_000, 400_000):
+            st = (
+                cpc.update(cpc.zero(k), rng.integers(0, 2**63, n))
+                if n
+                else cpc.zero(k)
+            )
+            blob = cpc.encode_entropy(st)
+            k2, rows2 = cpc.decode(blob)
+            assert k2 == k and np.array_equal(rows2, st[1])
+            k3, rows3 = cpc.decode(cpc.encode(st))  # legacy DEFLATE format
+            assert np.array_equal(rows3, st[1])
+            bound = cpc.entropy_bound_bits(st)
+            wire = 8 * len(blob) - 64  # minus the magic+k header
+            # 64 gamma'd counts cost >= 64 bits even when empty; beyond
+            # that floor the payload must track the bound
+            assert wire <= 1.10 * bound + 192, (k, n, wire, bound)
+            if k == 2048 and n >= 20_000:
+                assert wire <= 1.05 * bound, (k, n, wire, bound)
+
+
+def test_cpc_entropy_coder_estimate_unchanged():
+    """Transport format does not affect the estimator: estimates from the
+    enumerative and DEFLATE round trips are identical."""
+    from hllspark.sketches import cpc
+
+    rng = np.random.default_rng(5)
+    st = cpc.update(cpc.zero(512), rng.integers(0, 2**63, 10_000))
+    e1 = cpc.estimate(cpc.decode(cpc.encode_entropy(st)))
+    e2 = cpc.estimate(cpc.decode(cpc.encode(st)))
+    assert e1 == e2 == cpc.estimate(st)

@@ -81,8 +81,10 @@ def run_grid(spark: SparkSession, out_dir: str) -> list[dict]:
         df = synth(spark, dt, n, seed)
         if algo == "cpc":
             # §2.6 coupon-sketch baseline through the same grid protocol;
-            # bitsize = DEFLATE transport bits, entropyBits = the
-            # arithmetic-coder bound (comparable to DataSketches CPC sizes)
+            # bitsize = enumerative wire bits (encode_entropy, round 4),
+            # entropyBits = the first-order bound it provably stays at or
+            # below (+ gamma'd counts) — both comparable to DataSketches
+            # CPC's arithmetic-coded sizes
             from hllspark.sketches import cpc as _cpc
             from hllspark.sketches import generic as _generic
 
@@ -115,7 +117,8 @@ def run_grid(spark: SparkSession, out_dir: str) -> list[dict]:
                     "mode": mode, "algo": algo, "dt": dt, "m": m, "n": n,
                     "seed": seed, "time": round(dt_sec, 5),
                     "estimate": _cpc.estimate(st),
-                    "bitsize": 8 * len(blob),
+                    "bitsize": 8 * len(_cpc.encode_entropy(st)),
+                    "deflateBits": 8 * len(blob),
                     "compressCount": None, "rebaseCount": None,
                     "entropyBits": _cpc.entropy_bound_bits(st),
                 }
