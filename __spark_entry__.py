@@ -1240,6 +1240,36 @@ def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM cross-entropy quality scoring (round 4, CCNet-style
+    perplexity proxy): model trained on the corpus itself, per-doc
+    cross-entropy value-matched against a full SQL replica of the
+    Laplace-smoothed model."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    out = curation.lm_perplexity_scores(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    ).orderBy("doc_id")
+
+
+def _q_mixture_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-balanced mixture sampling (round 4): the largest sample
+    whose lang shares follow the 0.5/0.3/0.2 target exactly (flooring),
+    no stratum oversampled, membership by md5 hash order — the oracle
+    recomputes the scale factor AND the exact per-row membership."""
+    from hllspark import sampling
+
+    docs = _t(spark, sf, "documents")
+    out = sampling.mixture_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.3, "fr": 0.2}, seed=5
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-ES, hllspark/sampling.py): 100 docs drawn with probability
@@ -1691,6 +1721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _q_session_stats_events,
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "mixture_sample_docs": _q_mixture_sample_docs,
+        "lm_perplexity_docs": _q_lm_perplexity_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2014,6 +2046,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "lm_perplexity_docs": (
+            "WITH base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') "
+            "  AS ws FROM documents WHERE doc_id < 300), "
+            "tok AS (SELECT doc_id, ws[i] AS w FROM base, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w), "
+            "st AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM tok), "
+            "pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM base, "
+            "  unnest(generate_series(1, len(ws) - 1)) t(i) "
+            "  WHERE len(ws) >= 2), "
+            "bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs "
+            "  GROUP BY w1, w2), "
+            "bl AS (SELECT p.doc_id, "
+            "  ln((b.c2 + 1.0) / (u.c1 + st.v)) AS lp "
+            "  FROM pairs p JOIN bi b USING (w1, w2) "
+            "  JOIN uni u ON u.w = p.w1 CROSS JOIN st), "
+            "agg AS (SELECT doc_id, sum(lp) AS slp FROM bl GROUP BY doc_id), "
+            "fs AS (SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens, "
+            "  CASE WHEN len(b.ws) > 0 THEN "
+            "    ln((coalesce(u.c1, 0) + 1.0) / (st.n + st.v)) ELSE 0 END "
+            "    AS lp0 "
+            "  FROM base b LEFT JOIN uni u ON u.w = b.ws[1] CROSS JOIN st) "
+            "SELECT f.doc_id, f.n_tokens, "
+            "round(CASE WHEN f.n_tokens > 0 THEN "
+            "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
+            "  AS cross_entropy "
+            "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
+        ),
+        "mixture_sample_docs": (
+            "WITH p(lang, prop) AS (VALUES ('de', 0.3), ('en', 0.5), "
+            "  ('fr', 0.2)), "
+            "c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+            "s AS (SELECT min(n / prop) AS s FROM c JOIN p USING (lang)), "
+            "lim AS (SELECT lang, CAST(floor(prop * s) AS BIGINT) AS take "
+            "  FROM p, s), "
+            "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "  ORDER BY substring(md5(concat_ws(chr(31), "
+            "  CAST(doc_id AS VARCHAR), '5')), 1, 8), doc_id) AS rn "
+            "  FROM documents) "
+            "SELECT r.lang, r.doc_id FROM r JOIN lim USING (lang) "
+            "WHERE rn <= take ORDER BY lang, doc_id"
         ),
         "weighted_sample_docs": (
             "SELECT doc_id FROM ("

@@ -150,9 +150,7 @@ def main() -> int:
         .collect()[0][0]
     )
     packed = curation.pack_sequences(
-        train.withColumn(
-            "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
-        ),
+        train.withColumn("n_tokens", F.size(text.words_col(F.col("text")))),
         "url", "n_tokens", 2048, num_partitions=8,
     )
     pack_stats = packed.agg(
@@ -160,6 +158,17 @@ def main() -> int:
         F.sum("n_tokens").alias("total_tokens"),
     ).collect()[0]
     assert pack_stats["n_chunks"] >= pack_stats["total_tokens"] // 2048
+
+    # 4d. round-4 curation: rebalance the train shard to a target language
+    # mixture, then LM-perplexity-score the result (CCNet-style proxy)
+    balanced = sampling.mixture_sample(
+        train, "lang", "url", {"en": 0.5, "de": 0.3, "fr": 0.2}, seed=11
+    )
+    lm = curation.lm_perplexity_scores(
+        balanced.withColumn("did", F.xxhash64("url")), id_col="did"
+    )
+    lm_mean = lm.agg(F.avg("cross_entropy")).collect()[0][0]
+    assert lm_mean is None or lm_mean >= 0.0
 
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:

@@ -678,6 +678,108 @@ def pack_sequences(
     )
 
 
+def lm_perplexity_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: per-document
+    cross-entropy under a bigram LM with Laplace (add-one) smoothing,
+    trained on ``model_df`` (default: the corpus itself).  Low
+    cross-entropy = fluent/common text, high = gibberish or boilerplate
+    soup — the standard perplexity-filter signal (CCNet, Gopher) with the
+    KenLM dependency replaced by an in-engine bigram model.
+
+    Returns (id_col, n_tokens, cross_entropy):
+      cross_entropy = -(ln P(w1) + sum_i ln P(w_{i+1}|w_i)) / n_tokens
+      P(w1)        = (C(w1) + 1) / (N + V)        [unigram, Laplace]
+      P(w2|w1)     = (C(w1 w2) + 1) / (C(w1) + V) [bigram, Laplace]
+    Tokens are lowercased whitespace words (words_col).  Docs with zero
+    tokens score 0.0.  Unseen words/bigrams (model_df != df) back off to
+    the +1 numerator with C = 0.
+
+    Plan: token/bigram model counts are ONE map-side-combined aggregate
+    each over the model corpus; scoring joins the document gram stream
+    against those tables (broadcast when the vocabulary fits — the usual
+    case after any frequency cutoff; for open-vocab web scale, cap the
+    model with sketches.misragries top-K first) and reduces per doc.  No
+    Python anywhere."""
+    model = model_df if model_df is not None else df
+    t = F.lower(F.col(text_col))
+    words = words_col(t)
+
+    def pair_stream(frame: DataFrame, cols: list[str]) -> DataFrame:
+        w = words_col(F.lower(F.col(text_col)))
+        n = F.size(w)
+        w1s = F.slice(w, 1, F.greatest(n - 1, F.lit(0)))
+        w2s = F.slice(w, 2, F.greatest(n - 1, F.lit(0)))
+        pairs = F.zip_with(
+            w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        )
+        return frame.select(*cols, F.explode(pairs).alias("p")).select(
+            *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    toks = model.select(F.explode(words_col(F.lower(F.col(text_col)))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    stats = F.broadcast(
+        toks.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("w").alias("v")
+        ).withColumn("__x", F.lit(1))
+    )
+    bi = pair_stream(model, []).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+
+    doc_pairs = pair_stream(df, [id_col])
+    lp_bi = (
+        doc_pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
+        .withColumn("__x", F.lit(1))
+        .join(stats, "__x")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("lp").alias("slp"))
+    )
+    heads = (
+        df.select(
+            F.col(id_col),
+            F.get(words, 0).alias("w"),  # null-safe on empty/null arrays
+            F.size(words).alias("n_tokens"),
+        )
+        .join(uni, "w", "left")
+        .withColumn("__x", F.lit(1))
+        .join(stats, "__x")
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.log(
+                    (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n") + F.col("v"))
+                ),
+            ).otherwise(F.lit(0.0)).alias("lp0"),
+        )
+    )
+    return heads.join(lp_bi, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            -(F.col("lp0") + F.coalesce(F.col("slp"), F.lit(0.0)))
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)).alias("cross_entropy"),
+    )
+
+
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds host / registered_domain / path_depth — row-local JVM
     expressions; feed the result straight into sketch_by('url', keys=

@@ -272,3 +272,59 @@ def wire_jr_df(spark: SparkSession, buf: bytes, num_partitions: int = 8) -> Data
     j, r = wire_decode_jr(buf)
     pdf = pd.DataFrame({"j": j.astype("int64"), "r": r.astype("int64")})
     return spark.createDataFrame(pdf).repartition(num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables: shuffle-free co-located joins (round 4)
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a BUCKETED parquet table: rows are hashed on
+    ``bucket_cols`` into ``num_buckets`` files per partition at WRITE
+    time, so every later join or aggregation on those columns (between
+    tables bucketed the same way) runs with ZERO Exchange — the shuffle
+    is paid once at ingest instead of once per query.  This is the 100 TB
+    fact-to-fact join story: at petabyte fact sizes the per-query shuffle
+    IS the bottleneck, and bucketing removes it for the whole query
+    corpus keyed on the same columns (plan-asserted in
+    tests/test_io_text.py::test_bucketed_join_no_exchange).
+
+    ``sort_cols`` additionally sorts within buckets (enables sort-merge
+    without the sort).  ``path`` makes the table external (else it lands
+    in spark.sql.warehouse.dir).  Bucket metadata lives in the session
+    catalog — at production scale back the catalog with a metastore so
+    bucketing survives sessions."""
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket columns.  With
+    matching bucket counts Spark plans a sort-merge join with NO Exchange
+    on either side (bucketing IS the partitioning); a disabled/mismatched
+    bucket layout silently degrades to a normal shuffled join — the test
+    asserts the plan, not just the result."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -166,6 +166,58 @@ def weighted_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target_props: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Language/source-balanced sampling to TARGET MIXTURE PROPORTIONS —
+    the pretraining-corpus rebalancing op ("train on 50% en, 30% de,
+    20% fr"): returns the LARGEST sample whose stratum shares follow
+    ``target_props`` exactly (up to flooring) without oversampling any
+    stratum.  Scale factor s = min_g(count_g / prop_g); stratum g
+    contributes floor(prop_g * s) rows, selected by md5 hash order of
+    ``key_col`` (deterministic, engine-portable — same selection rule as
+    :func:`stratified_sample`).  Strata absent from ``target_props`` are
+    excluded.
+
+    Plan: one tiny count aggregate joined to a literal proportions table,
+    a one-row global min folded back via crossJoin(broadcast) — all
+    in-plan, no driver collect — then one shuffle on the strata for the
+    per-stratum hash-rank window.  The window grain is the same shape as
+    stratified_sample: bounded strata (languages, sources)."""
+    if not target_props:
+        raise ValueError("target_props must be non-empty")
+    if any(p <= 0 for p in target_props.values()):
+        raise ValueError("target proportions must be positive")
+    spark = df.sparkSession
+    props = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(target_props.items())],
+        f"{strata_col} string, __prop double",
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    caps = counts.join(F.broadcast(props), strata_col).select(
+        F.col(strata_col),
+        "__prop",
+        (F.col("__n").cast("double") / F.col("__prop")).alias("__cap"),
+    )
+    s = caps.agg(F.min("__cap").alias("__s"))
+    takes = caps.crossJoin(F.broadcast(s)).select(
+        F.col(strata_col),
+        F.floor(F.col("__prop") * F.col("__s")).cast("long").alias("__take"),
+    )
+    h = _md5_hex8([F.col(key_col)], seed)
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.join(F.broadcast(takes), strata_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("__take"))
+        .drop("__rn", "__take")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str] | str,

@@ -279,3 +279,27 @@ def test_pack_sequences_empty_input(spark):
     out = pack_sequences(empty, "doc_id", "n", 128)
     assert out.count() == 0
     assert {"chunk_id", "chunk_offset", "n_chunks_spanned"} <= set(out.columns)
+
+
+def test_lm_perplexity_scores(spark):
+    """Bigram-LM cross-entropy: common/repeated text scores lower than
+    one-off gibberish under the corpus-trained model; zero-token and
+    null-text docs score 0."""
+    from hllspark.curation import lm_perplexity_scores
+
+    common = "the cat sat on the mat " * 20
+    rows = [(i, common) for i in range(10)] + [
+        (100, "zq xv qk jw vv zz yq wq pk kz"),  # unseen-ish unigrams/bigrams
+        (101, ""),
+        (102, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_perplexity_scores(df).collect()}
+    assert len(out) == 13
+    assert out[101]["cross_entropy"] == 0.0 and out[101]["n_tokens"] == 0
+    assert out[102]["cross_entropy"] == 0.0 and out[102]["n_tokens"] == 0
+    assert out[0]["cross_entropy"] < out[100]["cross_entropy"]
+    # identical docs score identically
+    assert out[0]["cross_entropy"] == out[9]["cross_entropy"]
+    # self-trained model: every probability <= 1 -> cross-entropy >= 0
+    assert all(r["cross_entropy"] >= 0 for r in out.values())

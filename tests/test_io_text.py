@@ -195,3 +195,41 @@ def test_wire_formats_round_trip(spark):
     expect = np.zeros(1 << p, dtype=np.uint8)
     np.maximum.at(expect, j.astype(np.int64), r.astype(np.uint8))
     np.testing.assert_array_equal(sketch.decode(sk), expect)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with ZERO Exchange on either side (the
+    write-time shuffle replaces every query-time shuffle), and the result
+    equals the plain shuffled join row-for-row."""
+    from tests.conftest import SF_TEST
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    left = ev.select("event_id", "user_id", "value")
+    right = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    try:
+        hio.write_bucketed(left, "t_bleft", "user_id", 8,
+                           path=str(tmp_path / "bleft"))
+        hio.write_bucketed(right, "t_bright", "user_id", 8,
+                           path=str(tmp_path / "bright"),
+                           sort_cols="user_id")
+        # force the sort-merge path (the tiny fixture would otherwise be
+        # broadcast, which sidesteps bucketing entirely); at real fact
+        # sizes SMJ is what the planner picks on its own
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = hio.bucketed_join(spark, "t_bleft", "t_bright", "user_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange hashpartitioning" not in plan, plan
+            got = sorted(map(tuple, joined.collect()))
+            want = sorted(map(tuple, left.join(right, "user_id").collect()))
+            assert got == want
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")

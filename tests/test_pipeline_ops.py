@@ -464,3 +464,35 @@ def test_decontaminate_removes_contaminated(spark):
     kept_ids = set(r["doc_id"] for r in kept.select("doc_id").collect())
     assert kept_ids.isdisjoint(set(range(10)))
     assert kept.columns == train.columns
+
+
+def test_mixture_sample_exact_proportions(spark):
+    """mixture_sample follows the target proportions exactly (flooring),
+    saturates the binding stratum, excludes unlisted strata, and is
+    partition-invariant (hash-order membership)."""
+    import math
+
+    from hllspark import sampling
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    counts = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    target = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = sampling.mixture_sample(docs, "lang", "doc_id", target, seed=5)
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    s = min(counts[g] / p for g, p in target.items())
+    want = {g: math.floor(p * s) for g, p in target.items()}
+    assert got == want
+    # the binding stratum is (near-)saturated, none oversampled
+    assert all(got[g] <= counts[g] for g in target)
+    assert any(counts[g] - got[g] <= 1 / min(target.values()) for g in target)
+    # unlisted strata excluded entirely
+    assert set(got) == set(target)
+    # partition invariance: same membership on a different partitioning
+    a = sorted(map(tuple, out.select("lang", "doc_id").collect()))
+    b = sorted(map(tuple,
+        sampling.mixture_sample(docs.repartition(17), "lang", "doc_id",
+                                target, seed=5)
+        .select("lang", "doc_id").collect()))
+    assert a == b
