@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from hllspark import agg, curation, decontam, dedup, joins, sessions
-from hllspark.text import words_col
+from hllspark.text import token_count
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -283,7 +283,7 @@ def main() -> None:
         "q18_pack_pages_2m": lambda: curation.pack_sequences(
             pages.select(
                 "url",
-                F.size(words_col(F.col("text"))).alias("n_tokens"),
+                token_count(F.col("text")).alias("n_tokens"),
             ),
             "url",
             "n_tokens",

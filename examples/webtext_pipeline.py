@@ -150,7 +150,7 @@ def main() -> int:
         .collect()[0][0]
     )
     packed = curation.pack_sequences(
-        train.withColumn("n_tokens", F.size(text.words_col(F.col("text")))),
+        train.withColumn("n_tokens", text.token_count(F.col("text"))),
         "url", "n_tokens", 2048, num_partitions=8,
     )
     pack_stats = packed.agg(

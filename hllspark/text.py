@@ -47,8 +47,15 @@ def words_col(text: Column) -> Column:
     (callers coalesce where an empty array is wanted).  Every module
     (curation, decontam, dedup, text) and every DuckDB contract oracle
     uses this exact definition:
-    ``list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')``."""
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    ``list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')``.
+
+    Implemented as ``array_remove(split(..), '')``: empty tokens can only
+    occur at the array edges (``\\s+`` merges interior runs), so
+    remove-all == filter.  NOTE the element-wise removal costs ~4x the
+    bare split on long texts (PLANS.md §25) — when only the COUNT is
+    needed, use :func:`token_count` (regex edge corrections, no array
+    mutation, ~4x faster at corpus scale)."""
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def shingles(text: Column, k: int = 3) -> Column:
@@ -76,9 +83,16 @@ def explode_shingles(df: DataFrame, text_col: str = "text", k: int = 3,
 # ---------------------------------------------------------------------------
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (JVM).  Blank / whitespace-only text counts
-    0; null text counts null."""
-    return F.size(words_col(text))
+    """Whitespace token count (JVM) == size(words_col(text)), computed
+    WITHOUT materializing the filtered array: ``\\s+``-split empties can
+    only appear at the text edges, so count = size(split) minus one per
+    whitespace edge, 0 for blank/whitespace-only text.  ~4x faster than
+    the array form on corpus-scale scans (PLANS.md §25).  Blank /
+    whitespace-only text counts 0; null text counts null."""
+    lead = F.when(text.rlike(r"\A\s"), F.lit(1)).otherwise(F.lit(0))
+    trail = F.when(text.rlike(r"\s\z"), F.lit(1)).otherwise(F.lit(0))
+    n = F.size(F.split(text, r"\s+")) - lead - trail
+    return F.when(text.rlike(r"\A\s*\z"), F.lit(0)).otherwise(n)
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -235,11 +249,12 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     toks = explode_tokens(df, text_col, id_col)
-    # token count per doc WITHOUT exploding: size(words_col) equals the
-    # explode-based count exactly (empty tokens filtered on both paths)
+    # token count per doc WITHOUT exploding: token_count equals the
+    # explode-based count exactly (empty tokens filtered on both paths;
+    # lowercasing does not change whitespace, so count the raw text)
     dl = df.select(
         F.col(id_col).alias("id"),
-        F.size(words_col(F.lower(F.col(text_col)))).cast("long").alias("dl"),
+        token_count(F.col(text_col)).cast("long").alias("dl"),
     ).where(F.col("dl") > 0)
     hits = toks.where(F.col("token").isin(terms))
     # tf feeds BOTH the df-per-term aggregate and the scoring join; persist

@@ -233,3 +233,21 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_token_count_equals_words_col_size(spark):
+    """The regex-edge-corrected token_count must equal size(words_col)
+    on every whitespace shape (it exists purely as the fast path)."""
+    rows = [
+        (0, "a b c"), (1, ""), (2, "   "), (3, None), (4, "\tfoo foo"),
+        (5, "foo foo\n"), (6, " \t x \n y  "), (7, "one"), (8, "\t\n"),
+        (9, "a  b\t\tc\nd"), (10, " lead"), (11, "trail "),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = df.select(
+        "i",
+        htext.token_count(F.col("t")).alias("fast"),
+        F.size(htext.words_col(F.col("t"))).alias("ref"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["ref"], (r["i"], r["fast"], r["ref"])
