@@ -1240,6 +1240,24 @@ def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle (round 4): the first 100 docs
+    of the md5-keyed global shuffle, with rank — the oracle reproduces
+    the exact order byte-for-byte."""
+    from hllspark import sampling
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents")
+    shuffled = sampling.shuffle_rows(docs, "doc_id", seed=9, method="md5")
+    h = sampling._md5_hex8([F.col("doc_id")], 9)
+    rank = F.row_number().over(Window.orderBy(h, F.col("doc_id")))
+    return (
+        shuffled.select("doc_id", rank.alias("rank"))
+        .where(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
+
+
 def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Bigram-LM cross-entropy quality scoring (round 4, CCNet-style
     perplexity proxy): model trained on the corpus itself, per-doc
@@ -1723,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
+        "corpus_shuffle_order": _q_corpus_shuffle_order,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2046,6 +2065,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "corpus_shuffle_order": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), "
+            "'9')), 1, 8), doc_id) AS INT) AS rank "
+            "FROM documents QUALIFY rank <= 100 ORDER BY rank"
         ),
         "lm_perplexity_docs": (
             "WITH base AS (SELECT doc_id, list_filter("

@@ -166,6 +166,35 @@ def weighted_sample(
     )
 
 
+def shuffle_rows(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    seed: int = 0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization
+    pass every pretraining pipeline runs before sequence packing: rows
+    are globally ordered by a hash of their stable key, so the "random"
+    order is reproducible across runs, partitionings and engines, and
+    disjoint seeds give independent epoch orders.
+
+    Plans as a range sort (sample boundaries -> range exchange -> local
+    sort): fully parallel, never a single-partition collapse.  Feed the
+    result straight into pack_sequences using the same hash as the order
+    column.  ``method='md5'`` is the engine-portable variant (same
+    lexicographic order in any MD5-agreeing SQL engine)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    cols = [F.col(c) for c in key_cols]
+    if method == "xxhash64":
+        h = F.xxhash64(*cols, F.lit(seed))
+    elif method == "md5":
+        h = _md5_hex8(cols, seed)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return df.orderBy(h, *cols)
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

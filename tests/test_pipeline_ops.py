@@ -496,3 +496,25 @@ def test_mixture_sample_exact_proportions(spark):
                                 target, seed=5)
         .select("lang", "doc_id").collect()))
     assert a == b
+
+
+def test_shuffle_rows_deterministic_partition_invariant(spark):
+    """Global deterministic shuffle: identical order across partitionings
+    and runs; a different seed gives a different (but valid) permutation;
+    xxhash64 and md5 methods both permute completely."""
+    from hllspark import sampling
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").select("doc_id")
+    a = [r["doc_id"] for r in sampling.shuffle_rows(docs, "doc_id", seed=3).collect()]
+    b = [r["doc_id"] for r in
+         sampling.shuffle_rows(docs.repartition(13), "doc_id", seed=3).collect()]
+    assert a == b
+    assert sorted(a) == sorted(r["doc_id"] for r in docs.collect())
+    assert a != sorted(a)  # actually permuted
+    c = [r["doc_id"] for r in sampling.shuffle_rows(docs, "doc_id", seed=4).collect()]
+    assert c != a and sorted(c) == sorted(a)
+    m = [r["doc_id"] for r in
+         sampling.shuffle_rows(docs, "doc_id", seed=3, method="md5").collect()]
+    assert sorted(m) == sorted(a) and m != sorted(m)
+    with pytest.raises(ValueError):
+        sampling.shuffle_rows(docs, "doc_id", method="sha9000")

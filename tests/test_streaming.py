@@ -534,3 +534,44 @@ def test_session_stream_matches_batch(spark, tmp_path):
     # the exact-gap spacing (300s == gap) merged, the 600s one split —
     # same boundary rule in stream and batch
     assert (2, 2, 300_000_000) in got and (2, 1, 0) in got
+
+
+def test_streaming_curation_filter_matches_batch(spark, tmp_path):
+    """Stateless curation (quality_filter + PII features) composes with
+    Structured Streaming unchanged: a readStream through the SAME plan
+    keeps exactly the batch survivors with identical redactions — the
+    streaming-ingest curation shape (filter at ingest, not in a later
+    batch sweep)."""
+    import pandas as pd
+
+    from hllspark import curation
+
+    src = str(tmp_path / "docs_src")
+    good = " ".join(f"tok{i % 97} word{i % 89}" for i in range(60))
+    bad = "spam ham " * 80
+    pii = good + " reach me a.b@mail.example.org or 555-010-1234"
+    batch_df = spark.createDataFrame(
+        [(1, good), (2, bad), (3, pii)], "doc_id long, text string"
+    )
+    batch_df.write.mode("overwrite").parquet(src)
+
+    def curate(df):
+        return curation.pii_features(
+            curation.quality_filter(df, min_words=10)
+        ).select("doc_id", "pii_total", "redacted")
+
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    rows = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            rows[r["doc_id"]] = r
+
+    _run_stream(curate(sdf), sink, str(tmp_path / "ck"))
+
+    want = {r["doc_id"]: r for r in curate(batch_df).collect()}
+    assert set(rows) == set(want) == {1, 3}
+    for k in want:
+        assert rows[k]["pii_total"] == want[k]["pii_total"]
+        assert rows[k]["redacted"] == want[k]["redacted"]
+    assert "<EMAIL>" in rows[3]["redacted"] and "<PHONE>" in rows[3]["redacted"]
