@@ -1240,6 +1240,20 @@ def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_budget_select_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection (round 4): keep docs in doc_id order
+    while the cumulative token count fits a 5000-token budget — the
+    distributed-cumsum machinery value-matched against a window oracle."""
+    from hllspark import curation
+    from hllspark.text import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    out = curation.select_within_budget(docs, "doc_id", "nt", budget=5000)
+    return out.select("doc_id", "nt").orderBy("doc_id")
+
+
 def _q_corpus_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic training-order shuffle (round 4): the first 100 docs
     of the md5-keyed global shuffle, with rank — the oracle reproduces
@@ -1742,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
+        "budget_select_docs": _q_budget_select_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2065,6 +2080,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "budget_select_docs": (
+            "WITH t AS (SELECT doc_id, CAST(len(list_filter("
+            "  regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+            "  AS BIGINT) AS nt FROM documents), "
+            "c AS (SELECT doc_id, nt, sum(nt) OVER (ORDER BY doc_id "
+            "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, nt FROM c WHERE cum <= 5000 ORDER BY doc_id"
         ),
         "corpus_shuffle_order": (
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY "

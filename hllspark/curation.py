@@ -600,6 +600,84 @@ def registered_domain(host: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    n_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``__cum`` (the GLOBAL running sum of ``n_col`` in ``order_col``
+    order, inclusive of the current row) and ``__pid``, without ever
+    collapsing to one partition: range-repartition on the order column,
+    per-partition window cumsum, a ONE-row-per-partition driver collect
+    of the partition totals, and a broadcast (pid, offset) join folding
+    the prefix offsets back in.  The cumsum grain is
+    ``localCheckpoint(eager=True)``-materialized so the range shuffle +
+    sort run exactly once across the totals job and the returned plan,
+    and the blocks free when the result is GC'd.  Null/negative-null
+    ``n_col`` counts 0.  Callers drop ``__pid``/``__cum``/``__off``."""
+    from pyspark.sql import Window
+
+    n = F.coalesce(F.col(n_col).cast("long"), F.lit(0))
+    parts = (
+        df.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else df.repartitionByRange(order_col)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__cum", F.sum(n).over(w))
+        .localCheckpoint(eager=True)
+    )
+    # one row per partition — bounded driver collect, independent of |df|
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    }
+    rows, acc = [], 0
+    for pid in sorted(totals):
+        rows.append((pid, acc))
+        acc += totals[pid]
+    off_df = df.sparkSession.createDataFrame(
+        rows, "__pid int, __off long"
+    ) if rows else df.sparkSession.createDataFrame([], "__pid int, __off long")
+    local = local.join(F.broadcast(off_df), "__pid", "left")
+    return local.withColumn(
+        "__cum",
+        F.col("__cum") + F.coalesce(F.col("__off"), F.lit(0).cast("long")),
+    )
+
+
+def select_within_budget(
+    df: DataFrame,
+    order_col: str,
+    n_tokens_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus selection: keep documents, in ``order_col``
+    order (typically a quality rank — best first), while the cumulative
+    token count stays within ``budget``; a document is kept only if it
+    fits ENTIRELY.  The standard "build the best N-token corpus" curation
+    step: order by quality descending, select until the budget is full.
+
+    Same two-phase distributed cumsum as :func:`pack_sequences` (range
+    shuffle + per-partition window + one-row-per-partition prefix
+    collect) — never a single-partition global window — followed by a
+    pushable ``__cum <= budget`` filter.  Original schema preserved."""
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    out = global_cumsum(df, order_col, n_tokens_col, num_partitions)
+    return out.where(F.col("__cum") <= F.lit(int(budget))).drop(
+        "__pid", "__cum", "__off"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,
@@ -632,38 +710,9 @@ def pack_sequences(
     """
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
-    from pyspark.sql import Window
-
     n = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
-    parts = (
-        df.repartitionByRange(num_partitions, order_col)
-        if num_partitions
-        else df.repartitionByRange(order_col)
-    )
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = (
-        parts.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__cum", F.sum(n).over(w))
-        .localCheckpoint(eager=True)
-    )
-    # one row per partition — bounded driver collect, independent of |df|
-    totals = {
-        r["__pid"]: r["t"]
-        for r in local.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
-    }
-    rows, acc = [], 0
-    for pid in sorted(totals):
-        rows.append((pid, acc))
-        acc += totals[pid]
-    off_df = df.sparkSession.createDataFrame(
-        rows, "__pid int, __off long"
-    ) if rows else df.sparkSession.createDataFrame([], "__pid int, __off long")
-    local = local.join(F.broadcast(off_df), "__pid", "left")
-    end = F.col("__cum") + F.coalesce(F.col("__off"), F.lit(0).cast("long"))
+    local = global_cumsum(df, order_col, n_tokens_col, num_partitions)
+    end = F.col("__cum")
     start = end - n
     return (
         local.withColumn("chunk_id", F.floor(start / seq_len))

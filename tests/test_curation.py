@@ -330,3 +330,35 @@ def test_pack_sequences_no_plan_literal_at_high_partition_count(spark):
     last = rows[4999]
     end = last["chunk_id"] * 64 + last["chunk_offset"] + (4999 % 7 + 1)
     assert end == total, (end, total)
+
+
+def test_select_within_budget(spark):
+    """Budget selection keeps the maximal doc_id-order prefix whose total
+    tokens fit; whole-doc semantics (no partial fit); partition-invariant;
+    pack_sequences still exact through the shared global_cumsum."""
+    from hllspark.curation import select_within_budget
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id int, nt int")
+    out = sorted(
+        r["doc_id"]
+        for r in select_within_budget(df, "doc_id", "nt", 1000).collect()
+    )
+    # python oracle
+    cum, want = 0, []
+    for i, n in rows:
+        cum += n
+        if cum <= 1000:
+            want.append(i)
+    assert out == want and 0 < len(want) < 500
+    # partition invariance
+    out17 = sorted(
+        r["doc_id"]
+        for r in select_within_budget(
+            df.repartition(17), "doc_id", "nt", 1000, num_partitions=16
+        ).collect()
+    )
+    assert out17 == want
+    # edges: zero budget keeps nothing but zero-cost rows; huge keeps all
+    assert select_within_budget(df, "doc_id", "nt", 0).count() == 0
+    assert select_within_budget(df, "doc_id", "nt", 10**9).count() == 500
