@@ -1240,6 +1240,40 @@ def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_canonical_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (round 4): three syntactic variants of the
+    same logical page (mixed case, default port, shuffled query params,
+    fragments) must collapse to ONE canonical form — the oracle states
+    the expected canonical string directly from the construction, so it
+    is an independent check of every normalization rule at once."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    base = F.concat(
+        F.upper(F.col("source")), F.lit(".Example.COM"),
+    )
+    did = F.col("doc_id").cast("string")
+    v = [
+        F.concat(F.lit("HTTPS://"), base, F.lit(":443/d/"), did,
+                 F.lit("?b=2&a=1#x")),
+        F.concat(F.lit("https://"), F.lower(base), F.lit("/d/"), did,
+                 F.lit("?a=1&b=2")),
+        F.concat(F.lit("https://"), base, F.lit(":443/d/"), did,
+                 F.lit("?b=2&a=1#frag2")),
+    ]
+    ex = docs.select(
+        "doc_id", F.explode(F.array(*v)).alias("url")
+    ).select("doc_id", curation.canonical_url(F.col("url")).alias("c"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.countDistinct("c").alias("n_canonical"),
+            F.min("c").alias("canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_budget_select_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget corpus selection (round 4): keep docs in doc_id order
     while the cumulative token count fits a 5000-token budget — the
@@ -1757,6 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
+        "canonical_url_dedup": _q_canonical_url_dedup,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2080,6 +2115,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "canonical_url_dedup": (
+            "SELECT doc_id, CAST(1 AS BIGINT) AS n_canonical, "
+            "'https://' || lower(source) || '.example.com/d/' || "
+            "CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canonical "
+            "FROM documents WHERE doc_id < 300 ORDER BY doc_id"
         ),
         "budget_select_docs": (
             "WITH t AS (SELECT doc_id, CAST(len(list_filter("

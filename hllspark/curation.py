@@ -829,6 +829,60 @@ def lm_perplexity_scores(
     )
 
 
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL for crawl-level dedup — the standard
+    normalization set, all JVM expressions:
+
+    1. scheme and host lowercased,
+    2. fragment (``#...``) dropped,
+    3. default port stripped (http:80 / https:443),
+    4. query parameters sorted (``&``-split, lexicographic), empty query
+       dropped,
+    5. empty path becomes ``/``.
+
+    Userinfo is preserved verbatim; bracketed IPv6 hosts are out of
+    scope (the port split keys on the LAST ':').  Non-URL strings (no
+    ``scheme://``) pass through unchanged.  Compose with
+    ``deduplicate_exact`` keyed on the canonical form, or with
+    ``url_features`` for per-site analytics."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.regexp_extract(url, _AUTHORITY_RE, 1)
+    # userinfo@hostport: keep userinfo verbatim, lowercase host, drop
+    # the port when it is the scheme default
+    has_user = auth.contains("@")
+    hostport = F.element_at(F.split(auth, "@"), -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    new_auth = F.concat(
+        F.when(has_user, F.concat(F.substring_index(auth, "@", 1), F.lit("@")))
+        .otherwise(F.lit("")),
+        host,
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+    )
+    path = url_path(url)
+    new_path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(q, "&"), lambda x: x != "")), "&"
+    )
+    new_q = F.when(sorted_q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_q)
+    )
+    canon = F.concat(scheme, F.lit("://"), new_auth, new_path, new_q)
+    return F.when(scheme == "", url).otherwise(canon)
+
+
 def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds host / registered_domain / path_depth — row-local JVM
     expressions; feed the result straight into sketch_by('url', keys=

@@ -362,3 +362,36 @@ def test_select_within_budget(spark):
     # edges: zero budget keeps nothing but zero-cost rows; huge keeps all
     assert select_within_budget(df, "doc_id", "nt", 0).count() == 0
     assert select_within_budget(df, "doc_id", "nt", 10**9).count() == 500
+
+
+def test_canonical_url(spark):
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/a/b?z=2&a=1#frag",
+         "https://www.example.com/a/b?a=1&z=2"),
+        ("http://Example.org:80", "http://example.org/"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        ("https://u:p@Host.COM/p?b&", "https://u:p@host.com/p?b"),
+        ("https://example.com/?", "https://example.com/"),
+        ("ftp://Files.example.com:21/f", "ftp://files.example.com:21/f"),
+        ("not a url", "not a url"),
+        ("https://example.com/trail/", "https://example.com/trail/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", curation.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # idempotent: canonical(canonical(x)) == canonical(x)
+    twice = df.select(
+        curation.canonical_url(
+            curation.canonical_url(F.col("url"))
+        ).alias("c")
+    ).collect()
+    assert [r["c"] for r in twice] == [got[i] for i in range(len(cases))]
