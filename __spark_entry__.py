@@ -1240,6 +1240,47 @@ def _q_stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_winnow_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS-style) near-dup pairs (round 4): planted exact
+    copies and suffix-extended copies must pair with their sources at
+    fingerprint overlap >= 0.8; unrelated word-soup docs must not.  The
+    oracle derives the expected pair set from the CONSTRUCTION (equal
+    base-text groups), independent of the fingerprint math."""
+    from hllspark import dedup
+
+    base = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    small = base.where(F.col("doc_id") < 5)
+    aug = (
+        base.unionByName(
+            small.select(
+                (F.col("doc_id") + 1000).alias("doc_id"), F.col("text")
+            )
+        ).unionByName(
+            small.select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" zq zq zq zq zq zq zq zq")
+                ).alias("text"),
+            )
+        )
+    )
+    out = dedup.winnow_near_duplicates(
+        aug, min_shared=2, min_overlap=0.8
+    )
+    # restrict the checked set to pairs involving a PLANTED id: the
+    # fixture also contains its own organic near-duplicates (e.g. two
+    # word-soup docs at 97% 5-gram jaccard at sf0.001), which winnow
+    # correctly detects but an equal-text oracle cannot express —
+    # organic detection is pytest-gated instead
+    return (
+        out.where(F.col("id_b") >= 1000)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_canonical_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (round 4): three syntactic variants of the
     same logical page (mixed case, default port, shuffled query params,
@@ -1792,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
         "canonical_url_dedup": _q_canonical_url_dedup,
+        "winnow_near_dups": _q_winnow_near_dups,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2115,6 +2157,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "winnow_near_dups": (
+            "WITH base AS (SELECT doc_id, lower(regexp_replace(text, "
+            "  '\\s+', ' ', 'g')) AS norm FROM documents WHERE doc_id < 50), "
+            "aug AS (SELECT doc_id, norm FROM base "
+            "  UNION ALL SELECT doc_id + 1000, norm FROM base "
+            "  WHERE doc_id < 5 "
+            "  UNION ALL SELECT doc_id + 2000, norm FROM base "
+            "  WHERE doc_id < 5) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM aug a, aug b "
+            "WHERE a.doc_id < b.doc_id AND b.doc_id >= 1000 "
+            "AND a.norm = b.norm ORDER BY id_a, id_b"
         ),
         "canonical_url_dedup": (
             "SELECT doc_id, CAST(1 AS BIGINT) AS n_canonical, "

@@ -490,6 +490,77 @@ def simhash(text, seed: int = 11):
     return F.shiftleft(half(63, 32), 32).bitwiseOR(half(31, 0))
 
 
+def winnow_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    min_overlap: float = 0.5,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """Near-dup pairs by WINNOWING fingerprints (Schleimer et al. 2003 —
+    the MOSS scheme): each document keeps the per-window minima of its
+    k-gram hashes (text.winnow_fingerprints); documents sharing at least
+    ``min_shared`` fingerprints AND a shared fraction >= ``min_overlap``
+    (of the smaller document's fingerprint set) are reported as
+    (id_a, id_b, n_shared, overlap).
+
+    Complementary to MinHash-LSH: winnowing GUARANTEES detection of any
+    shared run of >= window + k - 1 tokens (a positional/substring
+    signal), while MinHash estimates whole-document set Jaccard.  Plan:
+    explode fingerprints (a few % of tokens), cap degenerate fingerprint
+    buckets (hllspark.lshutil, the O(bucket^2) guard), fingerprint-
+    co-partitioned self-join, pair-grain count — shuffle carries (id,
+    fp) longs only."""
+    from .lshutil import drop_oversize_buckets
+    from .text import winnow_fingerprints
+
+    # localCheckpoint, not persist: the fingerprint table feeds the cap
+    # pass, the per-doc counts and both self-join sides, but the returned
+    # plan escapes this function so a persist could never be unpersisted
+    # (the round-4 cache-lifecycle rule; blocks free on GC)
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias(
+            "__fp"
+        ),
+    ).localCheckpoint(eager=True)
+    counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nfp"))
+    capped = drop_oversize_buckets(fps, ["__fp"], max_bucket_size, "winnow")
+    a = capped.select(F.col(id_col).alias("id_a"), "__fp")
+    b = capped.select(F.col(id_col).alias("id_b"), "__fp")
+    shared = (
+        a.join(b, "__fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+    out = (
+        shared.join(
+            counts.select(F.col(id_col).alias("id_a"), F.col("__nfp").alias("__na")),
+            "id_a",
+        )
+        .join(
+            counts.select(F.col(id_col).alias("id_b"), F.col("__nfp").alias("__nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / F.least(F.col("__na"), F.col("__nb")).cast("double")
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= F.lit(float(min_overlap)))
+    )
+    return out
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

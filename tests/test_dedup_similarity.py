@@ -711,3 +711,16 @@ def test_png_wav_real_decode(spark):
         mm.extract_features(
             media.where(F.col("media_id") % 3 == 1), decoder="real"
         ).collect()
+
+
+def test_winnow_near_duplicates(spark, docs):
+    """Winnowing pairs: exact copies share ALL fingerprints (overlap 1.0),
+    near copies (one appended word) stay above the overlap bar, unrelated
+    word-soup docs stay below it."""
+    out = dedup.winnow_near_duplicates(docs, min_shared=2, min_overlap=0.5)
+    found = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in found, f"exact copy {i} missed"
+        assert found[(i, i + 100000)]["overlap"] == 1.0
+        assert (i, i + 200000) in found, f"near copy {i} missed"
+        assert found[(i, i + 200000)]["overlap"] >= 0.5
