@@ -292,6 +292,12 @@ def main() -> None:
         )
         .agg(F.max("chunk_id"), F.sum("n_chunks_spanned"))
         .collect(),
+        # URL canonicalization over the full 2M-page crawl (round 4):
+        # pure codegen string work inside the scan stage, reduced to one
+        # hash so nothing but the operator is measured
+        "q19_canonical_urls_2m": lambda: pages.select(
+            F.max(F.xxhash64(curation.canonical_url(F.col("url"))))
+        ).collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
