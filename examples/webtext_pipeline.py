@@ -170,6 +170,24 @@ def main() -> int:
     lm_mean = lm.agg(F.avg("cross_entropy")).collect()[0][0]
     assert lm_mean is None or lm_mean >= 0.0
 
+    # 4e. late round-4 ops: canonical-URL dedup of the crawl, winnowing
+    # substring-reuse pairs on the near slice, and a token-budget cut of
+    # the balanced shard
+    n_canon = (
+        deduped.select(curation.canonical_url(F.col("url")).alias("c"))
+        .agg(F.countDistinct("c"))
+        .collect()[0][0]
+    )
+    assert n_canon > 0
+    winnow_pairs = dedup.winnow_near_duplicates(
+        near_slice, min_shared=2, min_overlap=0.8
+    ).count()
+    budgeted = curation.select_within_budget(
+        balanced.withColumn("nt", text.token_count(F.col("text"))),
+        "url", "nt", budget=100_000,
+    )
+    assert budgeted.count() <= balanced.count()
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
