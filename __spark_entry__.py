@@ -1760,7 +1760,7 @@ def _q_index_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 # Bump each round: rotates the contract tail through the driver's
 # 50-query correctness window (see COVERAGE.md "contract rotation").
-_ROUND = 4
+_ROUND = 5
 
 # The driver's correctness harness checks the FIRST 50 entries of
 # queries().  _HEAD keeps >=1 query per operator family (the load-bearing
@@ -1936,7 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_by_lang": (
             "WITH base AS (SELECT doc_id, lang, text, length(text) AS n_chars, "
             "  string_split(text, ' the ') AS segs, "
-            "  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words "
+            "  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words "
             "  FROM documents), "
             "ex AS (SELECT doc_id, trim(segs[i]) AS line FROM base, "
             "  unnest(generate_series(1, len(segs))) t(i) "
@@ -1978,7 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_survivors": (
             "WITH base AS (SELECT doc_id, text, length(text) AS n_chars, "
             "  string_split(text, ' the ') AS segs, "
-            "  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words "
+            "  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words "
             "  FROM documents), "
             "ex AS (SELECT doc_id, trim(segs[i]) AS line FROM base, "
             "  unnest(generate_series(1, len(segs))) t(i) "
@@ -2037,7 +2037,7 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT doc_id + 40000, text FROM documents WHERE doc_id < 5), "
             "g AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') "
             "  for i in range(1, len(w) - 1)]) AS gs "
-            "  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') "
+            "  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
             "  AS w FROM (SELECT * FROM corpus UNION ALL SELECT * FROM newb)) "
             "  WHERE len(w) >= 3) "
             "SELECT n.doc_id AS new_id, c.doc_id AS index_id, "
@@ -2050,7 +2050,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_chunks": (
             "WITH t AS (SELECT doc_id, "
-            "  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) "
+            "  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) "
             "  AS n FROM documents), "
             "c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id "
             "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
@@ -2223,7 +2223,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH p(lang, prop) AS (VALUES ('de', 0.3), ('en', 0.5), "
             "  ('fr', 0.2)), "
             "c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
-            "s AS (SELECT min(n / prop) AS s FROM c JOIN p USING (lang)), "
+            "s AS (SELECT min(coalesce(n, 0) / prop) AS s "
+            "  FROM p LEFT JOIN c USING (lang)), "
             "lim AS (SELECT lang, CAST(floor(prop * s) AS BIGINT) AS take "
             "  FROM p, s), "
             "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
@@ -2308,7 +2309,7 @@ def oracle_sql() -> dict[str, str]:
             ")) AS g FROM tr WHERE len(w) >= 3), "
             "teg AS (SELECT DISTINCT unnest(list_distinct("
             "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]"
-            ")) AS g FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') "
+            ")) AS g FROM (SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') "
             "AS w FROM documents WHERE doc_id >= 100 AND doc_id < 150) "
             "WHERE len(w) >= 3), "
             "tot AS (SELECT doc_id, count(*) AS n_grams FROM trg "
@@ -2350,7 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_stats_by_lang": (
             "WITH f AS (SELECT lang, length(text) AS n_chars, "
-            "len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens, "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens, "
             "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) "
             "AS n_punct, len(list_filter(regexp_split_to_array(text, "
             "'\\s+'), w -> lower(w) IN ('the','a','an','and','or','of','to',"
@@ -2521,13 +2522,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM px GROUP BY 1, 2, 3 ORDER BY media_id"
         ),
         "text_token_counts": (
-            "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) "
+            "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
             "AS n_tokens FROM documents ORDER BY doc_id"
         ),
         "text_stats_by_lang": (
             "SELECT lang, count(*) AS n_docs, "
             "round(avg(length(text)), 4) AS avg_chars, "
-            "round(avg(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))), 4) "
+            "round(avg(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))), 4) "
             "AS avg_tokens FROM documents GROUP BY lang ORDER BY lang"
         ),
         "exact_dedup_group_count": (
@@ -2547,7 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         "shingle3_distinct_by_lang": (
             "WITH g AS (SELECT lang, unnest([array_to_string(w[i:i+2], ' ') "
             "for i in range(1, len(w) - 1)]) AS shingle FROM (SELECT lang, "
-            "list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)) "
+            "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents)) "
             "SELECT lang, count(DISTINCT shingle) AS distinct_shingles "
             "FROM g GROUP BY lang ORDER BY lang"
         ),
@@ -2577,8 +2578,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 0 AS self_hamming FROM documents "
             "WHERE doc_id < 50 ORDER BY doc_id"
         ),
-        "dedup_clusters": "WITH RECURSIVE aug AS (\n  SELECT doc_id, text FROM documents WHERE doc_id < 300\n  UNION ALL\n  SELECT doc_id + 20000, text || ' zqx zqx zqx' FROM documents WHERE doc_id < 5),\ng AS (\n  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')\n  for i in range(1, len(w) - 1)]) AS gs\n  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w\n  FROM aug) WHERE len(w) >= 3),\np AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b\n  WHERE a.doc_id < b.doc_id\n    AND len(list_intersect(a.gs, b.gs)) * 1.0 /\n        len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),\ne AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),\nreach(id, lbl) AS (\n  SELECT s, s FROM e\n  UNION\n  SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d)\nSELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id",
-        "near_dedup_count": "WITH RECURSIVE aug AS (\n  SELECT doc_id, text FROM documents WHERE doc_id < 300\n  UNION ALL\n  SELECT doc_id + 20000, text || ' zqx zqx zqx' FROM documents WHERE doc_id < 5),\ng AS (\n  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')\n  for i in range(1, len(w) - 1)]) AS gs\n  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w\n  FROM aug) WHERE len(w) >= 3),\np AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b\n  WHERE a.doc_id < b.doc_id\n    AND len(list_intersect(a.gs, b.gs)) * 1.0 /\n        len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),\ne AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),\nreach(id, lbl) AS (\n  SELECT s, s FROM e\n  UNION\n  SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d),\ncomp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)\nSELECT (SELECT count(*) FROM aug)\n     - (SELECT count(*) FROM comp WHERE id != lbl) AS n_after_near_dedup",
+        "dedup_clusters": "WITH RECURSIVE aug AS (\n  SELECT doc_id, text FROM documents WHERE doc_id < 300\n  UNION ALL\n  SELECT doc_id + 20000, text || ' zqx zqx zqx' FROM documents WHERE doc_id < 5),\ng AS (\n  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')\n  for i in range(1, len(w) - 1)]) AS gs\n  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w\n  FROM aug) WHERE len(w) >= 3),\np AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b\n  WHERE a.doc_id < b.doc_id\n    AND len(list_intersect(a.gs, b.gs)) * 1.0 /\n        len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),\ne AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),\nreach(id, lbl) AS (\n  SELECT s, s FROM e\n  UNION\n  SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d)\nSELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id",
+        "near_dedup_count": "WITH RECURSIVE aug AS (\n  SELECT doc_id, text FROM documents WHERE doc_id < 300\n  UNION ALL\n  SELECT doc_id + 20000, text || ' zqx zqx zqx' FROM documents WHERE doc_id < 5),\ng AS (\n  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')\n  for i in range(1, len(w) - 1)]) AS gs\n  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w\n  FROM aug) WHERE len(w) >= 3),\np AS (\n  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a, g b\n  WHERE a.doc_id < b.doc_id\n    AND len(list_intersect(a.gs, b.gs)) * 1.0 /\n        len(list_distinct(list_concat(a.gs, b.gs))) >= 0.8),\ne AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),\nreach(id, lbl) AS (\n  SELECT s, s FROM e\n  UNION\n  SELECT e.s, r.lbl FROM e JOIN reach r ON r.id = e.d),\ncomp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)\nSELECT (SELECT count(*) FROM aug)\n     - (SELECT count(*) FROM comp WHERE id != lbl) AS n_after_near_dedup",
         "minhash_lsh_near_dups": (
             "WITH aug AS ("
             "  SELECT doc_id, text FROM documents WHERE doc_id < 300"

@@ -830,7 +830,11 @@ def lm_perplexity_scores(
 
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
-_QUERY_RE = r"\?([^#]*)"
+# query = everything after the FIRST '?' that occurs BEFORE any '#':
+# the lazy [^#]*? prefix cannot cross a fragment marker, so a '?'
+# appearing only inside the fragment ("...#sec?x=1") yields NO query
+# instead of promoting fragment content into one (round-5 ADVICE fix)
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def canonical_url(url: Column) -> Column:

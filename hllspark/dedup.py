@@ -649,11 +649,16 @@ def write_minhash_index(
     index holds ~(64 longs + 16 band rows) per document, ~1% of the
     text, and one write amortizes over every later batch.
 
-    The parameter sidecar is written driver-side (local/posix path; swap
-    for the Hadoop FS API on an object store)."""
-    import json
-    import os
-
+    Crash safety: each ingest (this initial write and every
+    :func:`append_to_index`) lands under ``signatures/batch=<n>`` /
+    ``banded/batch=<n>`` and becomes visible only when the sidecar's
+    committed-batch list is atomically replaced (write-temp +
+    ``os.replace``) AFTER both parquet writes succeed.  A crash mid-
+    write leaves orphan uncommitted directories that readers never
+    touch; re-running the ingest picks a fresh batch id.  The sidecar
+    protocol assumes a SINGLE WRITER at a time (the ingest-loop shape);
+    concurrent appends need an external lock.  Sidecar I/O is driver-
+    side posix — swap for the Hadoop FS API on an object store."""
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
@@ -663,16 +668,60 @@ def write_minhash_index(
     sig = sig.select(F.col(id_col).alias("id"), F.col("__sig").alias("sig"))
     if sig.storageLevel == StorageLevel.NONE:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    sig.write.mode("overwrite").parquet(f"{path}/signatures/batch=0")
     _banded_df(sig.select(F.col("id"), F.col("sig").alias("__sig")), "id", bands, rows) \
-        .write.mode("overwrite").parquet(f"{path}/banded")
+        .write.mode("overwrite").parquet(f"{path}/banded/batch=0")
     sig.unpersist()
+    _commit_meta(
+        path,
+        {
+            "k": k,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "seed": seed,
+            "batches": [0],
+        },
+    )
+
+
+def _commit_meta(path: str, meta: dict) -> None:
+    """Atomically publish the sidecar: write-temp + ``os.replace`` so a
+    reader sees either the old or the new committed-batch list, never a
+    torn file. Single-writer by contract."""
+    import json
+    import os
+
     os.makedirs(path, exist_ok=True)
-    with open(f"{path}/{_LSH_META}", "w") as fh:
-        json.dump(
-            {"k": k, "num_hashes": num_hashes, "bands": bands, "seed": seed},
-            fh,
-        )
+    tmp = f"{path}/{_LSH_META}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, f"{path}/{_LSH_META}")
+
+
+def _read_meta(path: str) -> dict:
+    import json
+
+    with open(f"{path}/{_LSH_META}") as fh:
+        return json.load(fh)
+
+
+def _next_batch_id(path: str, meta: dict) -> int:
+    """First id above BOTH the committed list and any orphan directory a
+    crashed append left behind — never write into an orphan."""
+    import os
+    import re
+
+    used = set(meta.get("batches", [0]))
+    for sub in ("signatures", "banded"):
+        d = f"{path}/{sub}"
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                m = re.fullmatch(r"batch=(\d+)", name)
+                if m:
+                    used.add(int(m.group(1)))
+    return max(used) + 1
 
 
 def append_to_index(
@@ -682,11 +731,17 @@ def append_to_index(
     id_col: str = "doc_id",
 ) -> None:
     """Promote a (already deduplicated) batch into an existing index
-    WITHOUT rewriting it: the batch's signatures and banded rows are
-    parquet-appended and the parameter sidecar's ``appends`` counter is
-    bumped.  Signature parameters (k, num_hashes, bands, seed) come from
-    the sidecar, so appended rows are always comparable with the
-    original corpus rows.  The intended ingest loop::
+    WITHOUT rewriting it: the batch's signatures and banded rows land
+    under a fresh ``batch=<n>`` directory pair and become visible in ONE
+    atomic step — the sidecar's committed-batch list is replaced (write-
+    temp + ``os.replace``) only after BOTH parquet writes succeed, so a
+    crash at any point leaves the index exactly as it was (orphan
+    uncommitted directories are skipped by readers and by future batch-
+    id allocation).  Single-writer by contract; see
+    :func:`write_minhash_index`.  Signature parameters (k, num_hashes,
+    bands, seed) come from the sidecar, so appended rows are always
+    comparable with the original corpus rows.  The intended ingest
+    loop::
 
         batch = deduplicate_near(batch, ...)          # within-batch
         survivors = dedup_against_index(batch, path)  # vs corpus
@@ -698,28 +753,27 @@ def append_to_index(
     chains do not straddle batches (A~B, B~C with A,C unrelated in
     different batches keeps {A, C} here but {A} in one shot).
     """
-    import json
-
-    with open(f"{path}/{_LSH_META}") as fh:
-        meta = json.load(fh)
+    meta = _read_meta(path)
     k, num_hashes = meta["k"], meta["num_hashes"]
     bands, seed = meta["bands"], meta["seed"]
     rows = num_hashes // bands
+    n = _next_batch_id(path, meta)
     from pyspark import StorageLevel
 
     sig = _minhash_signatures_df(new_docs, text_col, id_col, k, num_hashes, seed)
     sig = sig.select(F.col(id_col).alias("id"), F.col("__sig").alias("sig"))
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        sig.write.mode("append").parquet(f"{path}/signatures")
+        sig.write.mode("overwrite").parquet(f"{path}/signatures/batch={n}")
         _banded_df(
             sig.select(F.col("id"), F.col("sig").alias("__sig")), "id", bands, rows
-        ).write.mode("append").parquet(f"{path}/banded")
+        ).write.mode("overwrite").parquet(f"{path}/banded/batch={n}")
     finally:
         sig.unpersist()
+    # the commit point: both tables durable -> publish atomically
+    meta["batches"] = sorted(meta.get("batches", [0]) + [n])
     meta["appends"] = meta.get("appends", 0) + 1
-    with open(f"{path}/{_LSH_META}", "w") as fh:
-        json.dump(meta, fh)
+    _commit_meta(path, meta)
 
 
 def index_near_matches(
@@ -738,12 +792,12 @@ def index_near_matches(
     and candidate id lists are broadcast, so both index tables are read
     in one map-side pass each (bucket join against ``banded/``, semi
     fetch against ``signatures/``).  Shuffle volume is bounded by the
-    new batch x bands, independent of corpus size."""
-    import json
+    new batch x bands, independent of corpus size.
 
+    Reads ONLY the sidecar's committed ``batch=<n>`` directories —
+    orphans from a crashed append are invisible."""
     spark = new_docs.sparkSession
-    with open(f"{path}/{_LSH_META}") as fh:
-        meta = json.load(fh)
+    meta = _read_meta(path)
     k, num_hashes = meta["k"], meta["num_hashes"]
     bands, seed = meta["bands"], meta["seed"]
     rows = num_hashes // bands
@@ -764,13 +818,18 @@ def index_near_matches(
         "id", bands, rows,
     ).withColumnRenamed("id", "new_id")
 
-    idx_banded = spark.read.parquet(f"{path}/banded")
+    committed = meta.get("batches", [0])
+    idx_banded = spark.read.parquet(
+        *[f"{path}/banded/batch={b}" for b in committed]
+    )
     cand = (
         idx_banded.join(F.broadcast(new_banded), ["band", "bucket"])
         .select(F.col("new_id"), F.col("id").alias("index_id"))
         .distinct()
     )
-    idx_sig = spark.read.parquet(f"{path}/signatures")
+    idx_sig = spark.read.parquet(
+        *[f"{path}/signatures/batch={b}" for b in committed]
+    )
     matched = idx_sig.join(
         F.broadcast(cand.select(F.col("index_id").alias("id")).distinct()), "id"
     ).select(F.col("id").alias("index_id"), F.col("sig").alias("idx_sig"))

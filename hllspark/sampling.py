@@ -210,7 +210,10 @@ def mixture_sample(
     contributes floor(prop_g * s) rows, selected by md5 hash order of
     ``key_col`` (deterministic, engine-portable — same selection rule as
     :func:`stratified_sample`).  Strata absent from ``target_props`` are
-    excluded.
+    excluded.  A target stratum with no rows at all forces s = 0 (the
+    result is empty): no sample can follow the target exactly without
+    it, and silently re-normalising over the present strata would
+    mis-state the mixture.
 
     Plan: one tiny count aggregate joined to a literal proportions table,
     a one-row global min folded back via crossJoin(broadcast) — all
@@ -227,10 +230,17 @@ def mixture_sample(
         f"{strata_col} string, __prop double",
     )
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
-    caps = counts.join(F.broadcast(props), strata_col).select(
+    # LEFT join from the target table: a target stratum with ZERO rows
+    # must force cap 0 (hence s = 0 and an empty sample) — an inner
+    # join would silently drop the stratum and violate the exact-
+    # proportions guarantee (round-5 ADVICE fix)
+    caps = props.join(F.broadcast(counts), strata_col, "left").select(
         F.col(strata_col),
         "__prop",
-        (F.col("__n").cast("double") / F.col("__prop")).alias("__cap"),
+        (
+            F.coalesce(F.col("__n"), F.lit(0)).cast("double")
+            / F.col("__prop")
+        ).alias("__cap"),
     )
     s = caps.agg(F.min("__cap").alias("__s"))
     takes = caps.crossJoin(F.broadcast(s)).select(

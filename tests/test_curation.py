@@ -376,6 +376,10 @@ def test_canonical_url(spark):
         ("ftp://Files.example.com:21/f", "ftp://files.example.com:21/f"),
         ("not a url", "not a url"),
         ("https://example.com/trail/", "https://example.com/trail/"),
+        # '?' INSIDE the fragment is fragment content, not a query
+        # (round-5 ADVICE: must NOT become https://example.com/p?x=1)
+        ("https://example.com/p#sec?x=1", "https://example.com/p"),
+        ("https://example.com/p?a=2#sec?x=1", "https://example.com/p?a=2"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"

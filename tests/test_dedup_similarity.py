@@ -611,6 +611,44 @@ def test_minhash_index_append_three_batch_ingest(spark, tmp_path):
     assert dedup.dedup_against_index(probe, path).count() == 0
 
 
+def test_minhash_index_append_crash_safety(spark, tmp_path):
+    """A crashed append (parquet written, sidecar never committed) is
+    invisible to readers, never collides with the retry's batch id, and
+    the retry fully recovers — the round-5 atomic-commit contract."""
+    import json
+
+    from hllspark import dedup
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    base = mk([(1, "alpha beta gamma delta epsilon zeta")])
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(base, path)
+    # simulate the crash: batch data lands, sidecar commit never runs
+    orphan = mk([(50, "lorem ipsum dolor sit amet consectetur")])
+    meta = dedup._read_meta(path)
+    n = dedup._next_batch_id(path, meta)
+    sig = dedup._minhash_signatures_df(orphan, "text", "doc_id", meta["k"],
+                                       meta["num_hashes"], meta["seed"])
+    sig = sig.select(F.col("doc_id").alias("id"), F.col("__sig").alias("sig"))
+    sig.write.parquet(f"{path}/signatures/batch={n}")
+    sig.write.parquet(f"{path}/banded/batch={n}")  # content irrelevant
+    # readers ignore the orphan: a copy of the orphan doc is NOT flagged
+    probe = mk([(60, "lorem ipsum dolor sit amet consectetur")])
+    assert dedup.dedup_against_index(probe, path).count() == 1
+    # the retry allocates a FRESH id (never writes into the orphan dir)
+    assert dedup._next_batch_id(path, dedup._read_meta(path)) == n + 1
+    dedup.append_to_index(orphan, path)
+    committed = dedup._read_meta(path)["batches"]
+    assert committed == [0, n + 1]
+    # after the committed retry the doc IS live
+    assert dedup.dedup_against_index(probe, path).count() == 0
+    # sidecar replacement left no torn temp file
+    import os
+
+    assert not os.path.exists(f"{path}/{dedup._LSH_META}.tmp")
+    json.load(open(f"{path}/{dedup._LSH_META}"))
+
+
 def test_minhash_index_matches_self_join_decisions(spark, tmp_path):
     # decisions through the index must agree with the in-memory
     # minhash_near_duplicates pairs on the same split (same seeds)

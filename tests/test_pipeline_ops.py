@@ -496,6 +496,12 @@ def test_mixture_sample_exact_proportions(spark):
                                 target, seed=5)
         .select("lang", "doc_id").collect()))
     assert a == b
+    # a target stratum with ZERO rows forces s = 0 -> empty result
+    # (round-5 ADVICE: inner-join silently renormalised over present
+    # strata, returning a 50/50 en/de sample for an en/de/fr target)
+    no_fr = docs.where(F.col("lang") != "fr")
+    empty = sampling.mixture_sample(no_fr, "lang", "doc_id", target, seed=5)
+    assert empty.count() == 0
 
 
 def test_shuffle_rows_deterministic_partition_invariant(spark):

@@ -2,7 +2,7 @@
 then each queries()[name] at sf0.01 side-by-side with oracle_sql()[name] in
 DuckDB, comparing row count, column names, and order-insensitive values.
 
-Usage: python tools/check_contract.py [sf_dir]
+Usage: python tools/check_contract.py [sf_dir] [only_query1,only_query2,...]
 """
 
 import os
@@ -18,6 +18,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -52,6 +53,10 @@ def main():
     assert len(rows) >= 0
 
     qs = entrymod.queries()
+    if ONLY:
+        unknown = ONLY - set(qs)
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
+        qs = {k: v for k, v in qs.items() if k in ONLY}
     oracles = entrymod.oracle_sql()
     fails = []
     for name, fn in qs.items():
