@@ -1363,6 +1363,24 @@ def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_lm_perplexity_capped_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocab-capped bigram-LM scoring (round 5): the model vocabulary is
+    capped to the exact top-20 tokens (Misra-Gries candidates + exact
+    recount, ties count-desc/word-asc) and every other token maps to one
+    <unk> bucket with V = 21 — the oracle replicates the cap, the
+    mapping, and the Laplace model in full SQL, so the MG candidate pass
+    is gated to be lossless on this corpus."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    out = curation.lm_perplexity_scores(docs, max_vocab=20)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+    ).orderBy("doc_id")
+
+
 def _q_mixture_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Language-balanced mixture sampling (round 4): the largest sample
     whose lang shares follow the 0.5/0.3/0.2 target exactly (flooring),
@@ -1830,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
+        "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
         "canonical_url_dedup": _q_canonical_url_dedup,
@@ -2189,6 +2208,48 @@ def oracle_sql() -> dict[str, str]:
             "substring(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), "
             "'9')), 1, 8), doc_id) AS INT) AS rank "
             "FROM documents QUALIFY rank <= 100 ORDER BY rank"
+        ),
+        "lm_perplexity_capped_docs": (
+            "WITH base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') "
+            "  AS ws FROM documents WHERE doc_id < 300), "
+            "tok AS (SELECT doc_id, ws[i] AS w FROM base, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok "
+            "  GROUP BY w ORDER BY c DESC, w LIMIT 20)), "
+            "vsz AS (SELECT count(*) + 1 AS v FROM vocab), "
+            "tokm AS (SELECT doc_id, CASE WHEN w IN (SELECT w FROM vocab) "
+            "  THEN w ELSE '<unk>' END AS w FROM tok), "
+            "uni AS (SELECT w, count(*) AS c1 FROM tokm GROUP BY w), "
+            "st AS (SELECT count(*) AS n FROM tok), "
+            "praw AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM base, "
+            "  unnest(generate_series(1, len(ws) - 1)) t(i) "
+            "  WHERE len(ws) >= 2), "
+            "pairs AS (SELECT doc_id, "
+            "  CASE WHEN w1 IN (SELECT w FROM vocab) THEN w1 "
+            "    ELSE '<unk>' END AS w1, "
+            "  CASE WHEN w2 IN (SELECT w FROM vocab) THEN w2 "
+            "    ELSE '<unk>' END AS w2 FROM praw), "
+            "bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs "
+            "  GROUP BY w1, w2), "
+            "bl AS (SELECT p.doc_id, "
+            "  ln((b.c2 + 1.0) / (u.c1 + vsz.v)) AS lp "
+            "  FROM pairs p JOIN bi b USING (w1, w2) "
+            "  JOIN uni u ON u.w = p.w1 CROSS JOIN vsz), "
+            "agg AS (SELECT doc_id, sum(lp) AS slp FROM bl GROUP BY doc_id), "
+            "fs AS (SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens, "
+            "  CASE WHEN len(b.ws) > 0 THEN "
+            "    ln((coalesce(u.c1, 0) + 1.0) / (st.n + vsz.v)) ELSE 0 END "
+            "    AS lp0 "
+            "  FROM base b LEFT JOIN uni u ON u.w = "
+            "    (CASE WHEN b.ws[1] IN (SELECT w FROM vocab) THEN b.ws[1] "
+            "     ELSE '<unk>' END) "
+            "  CROSS JOIN st CROSS JOIN vsz) "
+            "SELECT f.doc_id, f.n_tokens, "
+            "round(CASE WHEN f.n_tokens > 0 THEN "
+            "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
+            "  AS cross_entropy "
+            "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
         ),
         "lm_perplexity_docs": (
             "WITH base AS (SELECT doc_id, list_filter("

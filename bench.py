@@ -42,7 +42,12 @@ def build_session() -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "16g")
-        .config("spark.ui.enabled", "false")
+        # UI on (random port): its REST status endpoint feeds the
+        # composed-pipeline stage metrics; the listener that backs it
+        # runs regardless, so this only starts the HTTP server
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
     )
@@ -313,6 +318,21 @@ def main() -> None:
     }
 
     results = {name: round(timed(fn), 4) for name, fn in queries.items()}
+
+    # composed curation pipeline (staged shape — the production
+    # recommendation; see bench_pipeline.run_pipeline): one run, per-
+    # stage wall + rows + shuffle bytes; stage seconds join the queries
+    # dict as p_* keys so round-over-round BENCH diffs cover the
+    # composition, not just isolated operators
+    import bench_pipeline
+
+    pipe_pages = bench_pipeline.materialize_pages(
+        spark, bench_pipeline.PIPELINE_ROWS, CPUS
+    )
+    pipeline = bench_pipeline.run_pipeline(spark, pipe_pages, chained=False)
+    for sname, s in pipeline["stages"].items():
+        results[f"p_{sname}"] = s["sec"]
+
     total = round(sum(results.values()), 4)
     # floor-normalized timings: each query divided by the hash-only floor
     # b0 (a constant workload), so round-over-round comparisons factor out
@@ -349,6 +369,7 @@ def main() -> None:
         "build_vs_hashonly_floor": round(
             results["q5_synth_20m_build"] / results["b0_hashonly_20m"], 3
         ),
+        "pipeline": pipeline,
     }
     print(
         json.dumps(

@@ -732,6 +732,8 @@ def lm_perplexity_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     model_df: DataFrame | None = None,
+    max_vocab: int | None = None,
+    mg_capacity: int | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring: per-document
     cross-entropy under a bigram LM with Laplace (add-one) smoothing,
@@ -748,13 +750,34 @@ def lm_perplexity_scores(
     tokens score 0.0.  Unseen words/bigrams (model_df != df) back off to
     the +1 numerator with C = 0.
 
+    ``max_vocab`` is the open-vocabulary web-scale path: the model
+    vocabulary is capped to the exact top-``max_vocab`` tokens by
+    frequency (ties broken lexicographically) and every other token —
+    in the model AND in the scored documents — maps to one ``<unk>``
+    bucket, so V = |vocab| + 1.  Candidate discovery runs through a
+    Misra-Gries summary (``sketches.misragries``, capacity
+    ``mg_capacity``, default ``8 * max_vocab``) — a map-side fold with
+    O(capacity) state, never a full-vocab shuffle — followed by an
+    exact recount of the =< capacity candidates; the selected top-K is
+    EXACT (and partition-invariant) whenever every true top-K token
+    clears the MG retention bound n/(capacity+1), which the 8x default
+    ensures for Zipf-shaped web text.  All model tables are then
+    vocab-bounded and explicitly broadcast — the scoring join is
+    map-side by construction, closing the un-capped path's
+    corpus-sized-bigram-table hazard.
+
     Plan: token/bigram model counts are ONE map-side-combined aggregate
     each over the model corpus; scoring joins the document gram stream
     against those tables (broadcast when the vocabulary fits — the usual
-    case after any frequency cutoff; for open-vocab web scale, cap the
-    model with sketches.misragries top-K first) and reduces per doc.  No
-    Python anywhere."""
+    case after any frequency cutoff; with ``max_vocab`` set, always) and
+    reduces per doc.  No Python in the scoring path (the MG fold is an
+    Arrow-vectorized partial aggregate)."""
     model = model_df if model_df is not None else df
+    if max_vocab is not None:
+        return _lm_perplexity_capped(
+            df, id_col, text_col, model, max_vocab,
+            mg_capacity or 8 * max_vocab,
+        )
     t = F.lower(F.col(text_col))
     words = words_col(t)
 
@@ -826,6 +849,149 @@ def lm_perplexity_scores(
             -(F.col("lp0") + F.coalesce(F.col("slp"), F.lit(0.0)))
             / F.col("n_tokens"),
         ).otherwise(F.lit(0.0)).alias("cross_entropy"),
+    )
+
+
+def _lm_perplexity_capped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    max_vocab: int,
+    mg_capacity: int,
+) -> DataFrame:
+    """The ``max_vocab`` path of :func:`lm_perplexity_scores` — see its
+    docstring for semantics.  Split out so the un-capped fast path stays
+    untouched."""
+    from .sketches import generic, misragries as mg
+
+    spark = df.sparkSession
+    words = lambda: words_col(F.lower(F.col(text_col)))  # noqa: E731
+
+    # 1. Misra-Gries candidate pass: one sketch fold over the model
+    #    token stream; the collect is ONE row holding =< capacity items.
+    tok_model = model.select(F.explode(words()).alias("w"))
+    sk = generic.sketch_agg(tok_model, "w", mg.kind(mg_capacity))
+    state = mg.decode(sk.first()["sketch"])
+    cand = sorted(state["counts"])
+    cand_df = spark.createDataFrame([(w,) for w in cand], "w string")
+
+    # 2. exact recount of candidates only -> deterministic top-K
+    #    (count desc, token asc).  The sort input is =< mg_capacity rows.
+    vocab = (
+        tok_model.join(F.broadcast(cand_df), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("w"))
+        .limit(max_vocab)
+        .select("w")
+        .localCheckpoint(eager=True)  # =< max_vocab rows, joined 6x below
+    )
+    v_size = vocab.count() + 1  # + <unk>
+
+    def mapped(frame: DataFrame, col: str) -> DataFrame:
+        """Replace ``col`` by its vocab mapping (token, '<unk>', or NULL
+        passed through) via a broadcast membership join."""
+        marker = f"__v_{col}"
+        return (
+            frame.join(
+                F.broadcast(vocab.select(F.col("w").alias(marker))),
+                F.col(col) == F.col(marker),
+                "left",
+            )
+            .withColumn(
+                col,
+                F.when(F.col(marker).isNotNull(), F.col(col))
+                .when(F.col(col).isNotNull(), F.lit("<unk>")),
+            )
+            .drop(marker)
+        )
+
+    # 3. model tables over the MAPPED stream — vocab-bounded by
+    #    construction, so both are explicitly broadcast
+    uni = F.broadcast(
+        mapped(tok_model, "w").groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    stats = F.broadcast(
+        tok_model.agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("v", F.lit(v_size).cast("long"))
+        .withColumn("__x", F.lit(1))
+    )
+    bi = F.broadcast(
+        mapped(mapped(_lm_pair_stream(model, [], text_col), "w1"), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+    # 4. scoring: the document gram stream through the same mapping,
+    #    then broadcast joins against the capped model
+    doc_pairs = mapped(
+        mapped(_lm_pair_stream(df, [id_col], text_col), "w1"), "w2"
+    )
+    lp_bi = (
+        doc_pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1", "left")
+        .withColumn("__x", F.lit(1))
+        .join(stats, "__x")
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("lp").alias("slp"))
+    )
+    heads = mapped(
+        df.select(
+            F.col(id_col),
+            F.get(words(), 0).alias("w"),
+            F.size(words()).alias("n_tokens"),
+        ),
+        "w",
+    )
+    heads = (
+        heads.join(uni, "w", "left")
+        .withColumn("__x", F.lit(1))
+        .join(stats, "__x")
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.log(
+                    (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n") + F.col("v"))
+                ),
+            ).otherwise(F.lit(0.0)).alias("lp0"),
+        )
+    )
+    return heads.join(lp_bi, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            -(F.col("lp0") + F.coalesce(F.col("slp"), F.lit(0.0)))
+            / F.col("n_tokens"),
+        ).otherwise(F.lit(0.0)).alias("cross_entropy"),
+    )
+
+
+def _lm_pair_stream(
+    frame: DataFrame, cols: list[str], text_col: str
+) -> DataFrame:
+    """(cols..., w1, w2) adjacent-token pairs, built array-side (zip of
+    the word array with its shift — no shuffle, no window) then exploded."""
+    w = words_col(F.lower(F.col(text_col)))
+    n = F.size(w)
+    w1s = F.slice(w, 1, F.greatest(n - 1, F.lit(0)))
+    w2s = F.slice(w, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.zip_with(
+        w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+    )
+    return frame.select(*cols, F.explode(pairs).alias("p")).select(
+        *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
 
 

@@ -54,8 +54,17 @@ def generate_pages(
     seed: int = 42,
     num_partitions: int = 128,
     start_ts: str = "2024-06-01 00:00:00",
+    vocab_scale: int = 1,
 ) -> DataFrame:
-    """Deterministic pages DataFrame; a pure function of (args)."""
+    """Deterministic pages DataFrame; a pure function of (args).
+
+    ``vocab_scale`` > 1 suffixes each base token with a per-position
+    hash bucket, growing the effective vocabulary to 32 * vocab_scale
+    distinct tokens.  The default (1) keeps the original 32-word soup
+    byte-identical; the pipeline benchmark uses a larger scale so the
+    3-gram shingle space is realistic — with only 32 words every
+    document LSH-collides with every other and near-dedup degenerates
+    into an all-pairs candidate flood no real crawl exhibits."""
     n_distinct = n_distinct or max(1, int(n_rows * 0.8))
     df = spark.range(n_rows, numPartitions=num_partitions)
     uid = F.col("id") % F.lit(n_distinct)  # url id; distinct = min(n_rows, n_distinct)
@@ -65,9 +74,17 @@ def generate_pages(
     host = F.floor(F.lit(float(n_hosts)) * F.pow(u, F.lit(3.0))).cast("long")
     lang = _categorical(u * 997 % 1.0, _LANGS)
     n_tok = (F.pmod(F.xxhash64(uid, F.lit(seed + 1)), F.lit(196)) + 5).cast("int")
-    token = lambda i: F.element_at(
+    base = lambda i: F.element_at(
         F.lit(_VOCAB), (F.pmod(F.xxhash64(uid, F.lit(seed + 2) + i), F.lit(32)) + 1).cast("int")
     )
+    if vocab_scale > 1:
+        token = lambda i: F.concat(
+            base(i),
+            F.pmod(F.xxhash64(uid, F.lit(seed + 7) + i), F.lit(vocab_scale))
+            .cast("string"),
+        )
+    else:
+        token = base
     words = F.transform(F.sequence(F.lit(1), n_tok), lambda i: token(i))
     text = F.concat(F.array_join(words, " "), F.lit(" ["), lang, F.lit("]"))
     url = F.concat(

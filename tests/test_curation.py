@@ -305,6 +305,61 @@ def test_lm_perplexity_scores(spark):
     assert all(r["cross_entropy"] >= 0 for r in out.values())
 
 
+def test_lm_perplexity_capped_vocab(spark):
+    """max_vocab path (round 5): exact top-K vocab (count desc, word asc),
+    everything else -> one <unk> bucket, V = |vocab| + 1; hand-computed
+    values, partition invariance, and the plan contract — every model
+    table reaches the scoring join as a BROADCAST (sort-merge only ever
+    on the per-doc id grain)."""
+    import math
+
+    from hllspark.curation import lm_perplexity_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b rare1 rare2"), (3, "a a a a a a"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    out = lm_perplexity_scores(df, max_vocab=3)
+    got = {r["doc_id"]: r["cross_entropy"] for r in out.collect()}
+    # tokens: a=9 b=3 c=1 rare1=1 rare2=1 -> vocab {a,b,c} (ties: c wins
+    # lexicographically over rare1/rare2 at count 1... count desc first,
+    # then word asc: c < rare1 < rare2), V=4, doc2 maps to a b <unk> <unk>
+    N, V = 15, 4
+    c1 = {"a": 9, "b": 3, "c": 1, "<unk>": 2}
+    from collections import Counter
+
+    bi = Counter(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"),
+         ("a", "b"), ("b", "<unk>"), ("<unk>", "<unk>")]
+        + [("a", "a")] * 5
+    )
+
+    def score(toks):
+        lp = math.log((c1.get(toks[0], 0) + 1) / (N + V))
+        for x, y in zip(toks, toks[1:]):
+            lp += math.log((bi.get((x, y), 0) + 1) / (c1.get(x, 0) + V))
+        return -lp / len(toks)
+
+    assert got[1] == pytest.approx(score(["a", "b", "a", "b", "c"]))
+    assert got[2] == pytest.approx(score(["a", "b", "<unk>", "<unk>"]))
+    assert got[3] == pytest.approx(score(["a"] * 6))
+    assert got[4] == 0.0
+    # partition invariance (MG candidate sets may differ per split; the
+    # exact recount + deterministic tie-break must not)
+    got17 = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_perplexity_scores(df.repartition(17), max_vocab=3).collect()
+    }
+    assert all(got17[k] == pytest.approx(v) for k, v in got.items())
+    # plan contract: model tables broadcast; SortMergeJoin only on doc_id
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line, line
+
+
 def test_pack_sequences_no_plan_literal_at_high_partition_count(spark):
     """The per-partition prefix offsets must enter the plan as a broadcast
     (pid, offset) JOIN, never a create_map literal — at 2048 partitions a
