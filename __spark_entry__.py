@@ -712,6 +712,48 @@ def _q_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("media_id")
 
 
+def _q_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG decode end-to-end (round 5): synthesize baseline JPEGs
+    whose 8x8 blocks are closed-form constants (exact through all-ones
+    quantization), entropy-decode them with the in-repo numpy codec
+    (Huffman + dequant + IDCT), and report per-image pixel statistics —
+    the oracle recomputes the statistics from jpeg_block_value with
+    generate_series, so any wrong bit in the Huffman/DCT path breaks the
+    value hash (mirror of png_decode_stats)."""
+    import numpy as np
+
+    from hllspark import multimodal as mm
+
+    media = mm.synthesize_media_containers(spark, 60)
+    jpegs = media.where(F.col("media_id") % 3 == 1)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = mm.decode_jpeg(bytes(payload))
+                h, w = px.shape
+                s = int(px.sum(dtype=np.int64))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "pixel_sum": s,
+                        "pixel_mean": s / px.size,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = jpegs.mapInPandas(
+        run,
+        "media_id bigint, width int, height int, pixel_sum bigint, "
+        "pixel_mean double",
+    )
+    return out.orderBy("media_id")
+
+
 def _q_sketch_overlap_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Set-operation estimates from sketch columns only: distinct-user
     union/intersection between the two alphabetically-first event types;
@@ -1886,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_overlap_within_bound": _q_sketch_overlap_within_bound,
         "media_header_stats": _q_media_header_stats,
         "png_decode_stats": _q_png_decode_stats,
+        "jpeg_decode_stats": _q_jpeg_decode_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
@@ -2576,6 +2619,20 @@ def oracle_sql() -> dict[str, str]:
             "px AS (SELECT id, w, h, "
             "  (id + 7 * y.range + 13 * x.range + 31 * c.range) % 256 AS v "
             "  FROM imgs, range(50) y, range(100) x, range(3) c "
+            "  WHERE y.range < h AND x.range < w) "
+            "SELECT id AS media_id, CAST(w AS INT) AS width, "
+            "CAST(h AS INT) AS height, CAST(sum(v) AS BIGINT) AS pixel_sum, "
+            "avg(v) AS pixel_mean "
+            "FROM px GROUP BY 1, 2, 3 ORDER BY media_id"
+        ),
+        "jpeg_decode_stats": (
+            "WITH imgs AS (SELECT r.range AS id, "
+            "  CAST(r.range % 64 + 1 AS BIGINT) AS w, "
+            "  CAST(r.range % 32 + 1 AS BIGINT) AS h "
+            "  FROM range(60) r WHERE r.range % 3 = 1), "
+            "px AS (SELECT id, w, h, "
+            "  (id + 11 * (y.range // 8) + 17 * (x.range // 8)) % 256 AS v "
+            "  FROM imgs, range(32) y, range(64) x "
             "  WHERE y.range < h AND x.range < w) "
             "SELECT id AS media_id, CAST(w AS INT) AS width, "
             "CAST(h AS INT) AS height, CAST(sum(v) AS BIGINT) AS pixel_sum, "

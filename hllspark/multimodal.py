@@ -2,12 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-functions over mapInPandas.  The actual codec step is STUBBED in this
-container (no PIL/ffmpeg/librosa available): ``decoder='fake'`` produces a
-deterministic decode from the bytes themselves so the Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is real and tested, while
-``decoder='real'`` raises NotImplementedError at the clearly marked seam
-where PIL/ffmpeg calls belong.
+functions over mapInPandas.  ``decoder='real'`` performs REAL decodes with
+zero codec libraries: PNG (zlib + numpy defiltering), WAV PCM16 (raw
+slicing) and baseline JPEG (numpy Huffman + dequant + IDCT + YCbCr,
+``decode_jpeg``); only video still needs an external container/codec
+stack and says so.  ``decoder='fake'`` keeps a deterministic byte-pattern
+stand-in for pure plumbing tests.
 """
 
 from __future__ import annotations
@@ -66,12 +66,13 @@ def extract_features(
     batch — no per-row Python beyond the byte-object iteration that any
     codec call requires.
 
-    ``decoder='real'`` (round 4) actually decodes the codec-free
-    formats — PNG via stdlib zlib + numpy defiltering, WAV PCM16 via raw
-    slicing (decode_png / decode_wav below) — and raises at the
-    documented seam only for formats that genuinely need a codec library
-    (JPEG's DCT, video).  ``decoder='fake'`` keeps the deterministic
-    byte-pattern stand-in for plumbing tests."""
+    ``decoder='real'`` actually decodes: PNG via stdlib zlib + numpy
+    defiltering (round 4), WAV PCM16 via raw slicing (round 4), and
+    baseline JPEG via the in-repo numpy codec — Huffman + dequant +
+    IDCT + YCbCr, decode_jpeg below (round 5).  Only video remains
+    outside scope (it needs a real container/codec stack).
+    ``decoder='fake'`` keeps the deterministic byte-pattern stand-in for
+    plumbing tests."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
@@ -102,10 +103,12 @@ def extract_features(
                     raw = decode_png(b).astype(np.float32).ravel()
                 elif fmt == "wav":
                     raw = decode_wav(b)[1].astype(np.float32)
+                elif fmt == "jpeg":
+                    raw = decode_jpeg(b).astype(np.float32).ravel()
                 else:
                     raise NotImplementedError(
-                        f"real decode of {fmt!r} requires a codec library "
-                        "(JPEG DCT / video) — the one remaining seam"
+                        f"real decode of {fmt!r} requires a codec/container "
+                        "library (video) — outside this engine's scope"
                     )
                 feats.append(_bucket_means(raw))
             yield pd.DataFrame(
@@ -290,7 +293,26 @@ def make_png(width: int, height: int, seed: int | None = None) -> bytes:
     )
 
 
-def make_jpeg(width: int, height: int) -> bytes:
+def jpeg_block_value(seed: int, by, bx):
+    """Fixture 8x8-block constant: (seed + 11*by + 17*bx) mod 256 — a
+    closed form a SQL oracle can re-compute per block.  Constant blocks
+    with all-ones quantization round-trip EXACTLY through baseline JPEG
+    (only the DC coefficient is non-zero: 8*(v-128), an integer, and the
+    IDCT of a DC-only block is the constant DC/8)."""
+    return (seed + 11 * by + 17 * bx) % 256
+
+
+def make_jpeg(width: int, height: int, seed: int | None = None) -> bytes:
+    """Baseline JPEG.  With ``seed``: a REAL entropy-coded grayscale
+    baseline image where every 8x8 block is the constant
+    jpeg_block_value(seed, by, bx) — decodable by decode_jpeg (or any
+    JPEG decoder) with bit-exact pixels.  Without: the legacy header-only
+    stub (SOI+APP0+SOF0+EOI, no scan)."""
+    if seed is not None:
+        by, bx = np.ogrid[0 : (height + 7) // 8, 0 : (width + 7) // 8]
+        blocks = jpeg_block_value(seed, by, bx).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        return encode_jpeg_gray(img[:height, :width])
     app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
     sof = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
            + height.to_bytes(2, "big") + width.to_bytes(2, "big")
@@ -322,9 +344,8 @@ def make_wav(sample_rate: int, seed: int | None = None, n_samples: int = 0) -> b
 
 # ---------------------------------------------------------------------------
 # REAL decode for the codec-free formats (round 4): PNG is zlib (stdlib) +
-# per-scanline defiltering (numpy), WAV PCM is raw slicing.  JPEG remains
-# the one documented NotImplementedError seam (it genuinely needs a DCT
-# codec library not present in this container).
+# per-scanline defiltering (numpy), WAV PCM is raw slicing.  Baseline
+# JPEG joined them in round 5 (pure-numpy codec further below).
 # ---------------------------------------------------------------------------
 
 
@@ -419,12 +440,370 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (round 5): pure numpy — 8x8 orthonormal DCT,
+# all-ones quantization (chosen so DCT integers survive exactly), and
+# SELF-DERIVED canonical Huffman tables (every DC symbol at 4 bits, every
+# AC symbol at 8 bits — spec-legal: the all-ones code of each length stays
+# unused, and the tables travel in DHT so any conformant decoder reads
+# them).  Implemented from the public ITU T.81 spec; closes the last
+# NotImplementedError codec seam.  Scope: baseline sequential, 8-bit,
+# 1 component (grayscale) or 3 components at 1x1 sampling (no chroma
+# subsampling), no restart markers or progressive scans.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8-point DCT-II basis: T @ T.T == I; 2D: S = T @ B @ T.T
+_DCT_T = np.zeros((8, 8))
+_DCT_T[0, :] = 1.0 / np.sqrt(8.0)
+for _u in range(1, 8):
+    for _x in range(8):
+        _DCT_T[_u, _x] = 0.5 * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# canonical fixed-length code tables: (BITS counts per length 1..16, symbols)
+_JPEG_DC_SYMS = list(range(12))                       # categories 0..11
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12              # all at 4 bits
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]                                                     # EOB, ZRL, (run,size)
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_SYMS)] + [0] * 8  # all at 8 bits
+
+
+def _canonical_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[syms[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+_AC_CODES = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _fdct_quant_block(block: np.ndarray) -> np.ndarray:
+    s = _DCT_T @ (block.astype(np.float64) - 128.0) @ _DCT_T.T
+    return np.round(s).astype(np.int32)  # quant table is all ones
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_headers(width: int, height: int, n_comp: int) -> bytes:
+    dqt = _seg(0xDB, b"\x00" + bytes([1] * 64))       # table 0, all ones
+    comp_spec = b"".join(
+        bytes([cid, 0x11, 0]) for cid in range(1, n_comp + 1)
+    )
+    sof = _seg(
+        0xC0,
+        b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([n_comp]) + comp_spec,
+    )
+    dht = _seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMS),
+    )
+    scan_spec = b"".join(bytes([cid, 0x00]) for cid in range(1, n_comp + 1))
+    sos = _seg(0xDA, bytes([n_comp]) + scan_spec + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos
+
+
+def _encode_scan(planes: list[np.ndarray], w: _BitWriter) -> None:
+    """Interleaved MCU scan over per-component pixel planes (all same
+    shape, 1x1 sampling -> one block per component per MCU)."""
+    h, wd = planes[0].shape
+    bh, bw = (h + 7) // 8, (wd + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - wd)), mode="edge")
+        padded.append(pp)
+    pred = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, p in enumerate(padded):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _fdct_quant_block(blk)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = _dc_category(diff)
+                code, ln = _DC_CODES[s]
+                w.write(code, ln)
+                if s:
+                    w.write(_amplitude_bits(diff, s), s)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        if k > last_nz:
+                            code, ln = _AC_CODES[0x00]  # EOB
+                            w.write(code, ln)
+                            break
+                        run += 1
+                        if run == 16:
+                            code, ln = _AC_CODES[0xF0]  # ZRL
+                            w.write(code, ln)
+                            run = 0
+                        continue
+                    s = _dc_category(v)
+                    code, ln = _AC_CODES[(run << 4) | s]
+                    w.write(code, ln)
+                    w.write(_amplitude_bits(v, s), s)
+                    run = 0
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """8-bit grayscale (h, w) -> baseline JPEG bytes (quant all ones:
+    max round-trip error is the DCT rounding, < 1 intensity level;
+    constant blocks are exact)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    bw = _BitWriter()
+    _encode_scan([img], bw)
+    return _jpeg_headers(w, h, 1) + bw.flush() + b"\xff\xd9"
+
+
+def encode_jpeg_rgb(img: np.ndarray) -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline YCbCr JPEG, 1x1 sampling (no
+    chroma subsampling — every component at full resolution)."""
+    img = np.asarray(img, dtype=np.float64)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [
+        np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    ]
+    h, w = planes[0].shape
+    bw = _BitWriter()
+    _encode_scan(planes, bw)
+    return _jpeg_headers(w, h, 3) + bw.flush() + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+
+def _huff_decoder(bits: list[int], syms: list[int]):
+    """(code, length) -> symbol lookup dict from a DHT table."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = syms[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB from a baseline
+    sequential JPEG with 1x1 sampling.  Real entropy decode: DHT-driven
+    Huffman, dequant, dezigzag, orthonormal IDCT, level shift, and
+    YCbCr->RGB for 3-component scans.  Raises on progressive scans,
+    subsampled chroma, or restart intervals (out of baseline-fixture
+    scope, stated up front — not a stub)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, quant tbl)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc tbl, ac tbl)
+    scan_start = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    body[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int32)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nsym = sum(bits)
+                syms = list(body[j + 17 : j + 17 + nsym])
+                huff[(tc, th)] = _huff_decoder(bits, syms)
+                j += 17 + nsym
+        elif marker == 0xC0:
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            n_comp = body[5]
+            for c in range(n_comp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (1x1 only)")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tbl >> 4, tbl & 0x0F))
+            scan_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if width is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    n_comp = len(scan_comps)
+    if n_comp not in (1, 3):
+        raise ValueError("1- or 3-component scans only")
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    planes = [
+        np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(n_comp)
+    ]
+    br = _BitReader(payload, scan_start)
+    pred = [0] * n_comp
+    quant = [qt[comps[c][2]].astype(np.float64) for c in range(n_comp)]
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_ZIGZAG] = np.arange(64)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, dct, act) in enumerate(scan_comps):
+                zz = np.zeros(64, dtype=np.float64)
+                s = _read_symbol(br, huff[(0, dct)])
+                diff = _extend(br.read(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, huff[(1, act)])
+                    if rs == 0x00:      # EOB
+                        break
+                    if rs == 0xF0:      # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    sz = rs & 0x0F
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(br.read(sz), sz)
+                    k += 1
+                coef = (zz * quant[ci])[inv_zz].reshape(8, 8)
+                blk = _DCT_T.T @ coef @ _DCT_T + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    planes = [p[:height, :width] for p in planes]
+    if n_comp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
 def synthesize_media_containers(
     spark, n: int, num_partitions: int = 8
 ) -> DataFrame:
     """Deterministic media table with REAL container payloads: id % 3
     picks png (width=id%100+1, height=id%50+1, pixels = png_pixel(id,..))
-    / jpeg (width=id%64+1, height=id%32+1, headers only — the codec seam)
+    / jpeg (width=id%64+1, height=id%32+1, REAL baseline scan with 8x8
+    blocks constant at jpeg_block_value(id, by, bx) — round 5)
     / wav (rate=8000+(id%4)*8000, 160+id%100 PCM16 samples =
     wav_sample(id,..)).  Arrow-batched generation; a pure function of id
     on any partitioning, and the pixel/sample functions are closed-form
@@ -440,7 +819,7 @@ def synthesize_media_containers(
                 if k == 0:
                     payloads.append(make_png(i % 100 + 1, i % 50 + 1, seed=i))
                 elif k == 1:
-                    payloads.append(make_jpeg(i % 64 + 1, i % 32 + 1))
+                    payloads.append(make_jpeg(i % 64 + 1, i % 32 + 1, seed=i))
                 else:
                     payloads.append(
                         make_wav(8000 + (i % 4) * 8000, seed=i,

@@ -704,8 +704,8 @@ def test_minhash_index_matches_self_join_decisions(spark, tmp_path):
 def test_png_wav_real_decode(spark):
     """decoder='real' actually decodes: PNG via zlib+numpy defiltering
     (filters 0/1/2 covered; 3/4 via the per-pixel fallback), WAV PCM16
-    via slicing; pixels/samples match the closed-form fixture functions;
-    JPEG stays the documented NotImplementedError seam."""
+    via slicing, and (round 5) baseline JPEG via the numpy codec;
+    pixels/samples match the closed-form fixture functions."""
     import numpy as np
     import zlib
 
@@ -732,23 +732,70 @@ def test_png_wav_real_decode(spark):
     assert rate == 16000
     assert np.array_equal(s, mm.wav_sample(9, np.arange(333)).astype(np.int16))
 
-    # Spark end-to-end: real features for png/wav rows, seam for jpeg
+    # Spark end-to-end: real features for EVERY container row — png, wav
+    # and (round 5) jpeg all decode for real
     media = mm.synthesize_media_containers(spark, 30)
-    decodable = media.where(F.col("media_id") % 3 != 1)
-    feats = mm.extract_features(decodable, decoder="real").collect()
-    assert len(feats) == 20
+    feats = mm.extract_features(media, decoder="real").collect()
+    assert len(feats) == 30
     assert all(len(r["features"]) == mm.FEATURE_DIM for r in feats)
+    by_id = dict((r["media_id"], r["features"]) for r in feats)
     # one known value: media 0 is a 1x1 png, pixels (0, 31, 62); shorter
     # than FEATURE_DIM, so the decode is zero-padded before bucketing
-    f0 = dict((r["media_id"], r["features"]) for r in feats)[0]
+    f0 = by_id[0]
     assert f0[:3] == [0.0, 31.0, 62.0] and all(v == 0.0 for v in f0[3:])
+    # media 1 is a 2x2 jpeg, one constant block value jpeg_block_value(1,
+    # 0, 0) = 1 -> four pixels of 1, zero-padded before bucketing
+    f1 = by_id[1]
+    assert f1[:4] == [1.0] * 4 and all(v == 0.0 for v in f1[4:])
 
+
+def test_jpeg_real_codec(spark):
+    """Round-5 baseline JPEG codec: constant-block fixture images decode
+    bit-exactly (DC-only blocks survive all-ones quantization), general
+    gray/RGB content round-trips within the DCT/color rounding bound, and
+    the out-of-scope shapes fail loudly."""
+    import numpy as np
+
+    from hllspark import multimodal as mm
+
+    for seed, w, h in ((0, 16, 8), (7, 23, 17), (5, 1, 1), (40, 100, 3)):
+        img = mm.decode_jpeg(mm.make_jpeg(w, h, seed=seed))
+        by, bx = np.ogrid[0 : (h + 7) // 8, 0 : (w + 7) // 8]
+        want = np.repeat(
+            np.repeat(mm.jpeg_block_value(seed, by, bx).astype(np.uint8), 8, 0),
+            8, 1,
+        )[:h, :w]
+        assert img.shape == (h, w)
+        assert np.array_equal(img, want), (seed, w, h)
+    # general content: gradient + uniform noise within 1 level (gray),
+    # 2 levels (RGB adds the YCbCr round trip)
+    rng = np.random.default_rng(42)
+    gray = (np.add.outer(np.arange(40) * 3, np.arange(50) * 5) % 256).astype(
+        np.uint8
+    )
+    assert np.abs(
+        mm.decode_jpeg(mm.encode_jpeg_gray(gray)).astype(int) - gray.astype(int)
+    ).max() <= 1
+    noise = rng.integers(0, 256, (33, 41), dtype=np.uint8)
+    assert np.abs(
+        mm.decode_jpeg(mm.encode_jpeg_gray(noise)).astype(int)
+        - noise.astype(int)
+    ).max() <= 1
+    rgb = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    dec = mm.decode_jpeg(mm.encode_jpeg_rgb(rgb))
+    assert dec.shape == (24, 31, 3)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+    # header parsing still works on real scans, and the legacy
+    # header-only stub still parses
+    assert mm.jpeg_dims(mm.make_jpeg(10, 20, seed=3)) == (10, 20)
+    assert mm.jpeg_dims(mm.make_jpeg(10, 20)) == (10, 20)
+    # loud failures for out-of-scope shapes
     import pytest as _pytest
 
-    with _pytest.raises(Exception):
-        mm.extract_features(
-            media.where(F.col("media_id") % 3 == 1), decoder="real"
-        ).collect()
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg(b"\x89PNG not a jpeg")
+    with _pytest.raises(ValueError):  # header-only stub has no scan
+        mm.decode_jpeg(mm.make_jpeg(4, 4))
 
 
 def test_winnow_near_duplicates(spark, docs):
