@@ -250,6 +250,39 @@ def _q_cosine_top1_is_self(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def _q_pq_recall_within_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (round 5): PQ codes (8 bytes/vector, 32x
+    under float32) scored via ADC lookup tables must put every query's
+    own vector at rank 1 (its code's ADC score is the maximum possible)
+    and recall at least 5 of the exact cosine top-10 per query on the
+    fixture (measured floor at sf0.001/sf0.01 is exactly 5; the pytest
+    additionally gates aggregate recall >= 0.7) — the within-bound
+    oracle pattern (approximate structure gated by exact expectations)."""
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.first()["embedding"])
+    books = similarity.fit_pq_codebooks(emb, dim, m=8, nbits=8, seed=7)
+    codes = similarity.pq_encode(emb, books)
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_top_k(emb, queries_df, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.pq_top_k(codes, queries_df, books, k=10)
+    top1 = approx.where(F.col("rank") == 1).select(
+        "query_id",
+        (F.col("vec_id") == F.col("query_id")).cast("int").alias("self_top1"),
+    )
+    rec = (
+        exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) >= 5).cast("int").alias("recall_ok"))
+    )
+    return top1.join(rec, "query_id").orderBy("query_id")
+
+
 def _q_lang_id_markers(spark: SparkSession, sf: str) -> DataFrame:
     from hllspark import text as htext
 
@@ -1323,6 +1356,44 @@ def _q_winnow_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_winnow_guarantee_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing DETECTION GUARANTEE on ORGANIC data (round 5, closing
+    the r4 oracle gap): any two documents sharing a token run of length
+    >= window + k - 1 = 8 MUST share a winnow fingerprint (Schleimer et
+    al. 2003, thm 1).  'Shares a run of >= 8 tokens' is exactly 'shares
+    an 8-gram', which IS SQL-expressible — the oracle computes the full
+    shared-8-gram pair set in DuckDB, and this query returns that same
+    pair set INTERSECTED with winnow's detected pairs (min_shared=1,
+    no overlap floor, no cap): any organically near-duplicate pair the
+    operator missed would vanish from the intersection and break the
+    row-count/value hash."""
+    from hllspark import dedup, text as htext
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    g = docs.select(
+        "doc_id", F.explode(htext.shingles(F.col("text"), 8)).alias("g")
+    ).distinct()
+    rp = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    wp = dedup.winnow_near_duplicates(
+        docs, k=5, window=4, min_shared=1, min_overlap=0.0,
+        max_bucket_size=None,
+    ).select("id_a", "id_b")
+    return rp.join(wp, ["id_a", "id_b"]).orderBy("id_a", "id_b")
+
+
 def _q_canonical_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (round 4): three syntactic variants of the
     same logical page (mixed case, default port, shuffled query params,
@@ -1895,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select_docs": _q_budget_select_docs,
         "canonical_url_dedup": _q_canonical_url_dedup,
         "winnow_near_dups": _q_winnow_near_dups,
+        "winnow_guarantee_pairs": _q_winnow_guarantee_pairs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -1945,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shingles_within_bound": _q_hll_shingles_within_bound,
         "cosine_top3": _q_cosine_top3,
         "cosine_top1_is_self": _q_cosine_top1_is_self,
+        "pq_recall_within_bound": _q_pq_recall_within_bound,
         "lang_id_markers": _q_lang_id_markers,
         "simhash_self_hamming": _q_simhash_self_hamming,
         "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
@@ -2219,6 +2292,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn, "
             "ceil(count(*) OVER (PARTITION BY lang) * 0.1) AS take "
             "FROM documents) WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "winnow_guarantee_pairs": (
+            "WITH base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "  FROM documents WHERE doc_id < 300), "
+            "g AS (SELECT DISTINCT doc_id, "
+            "  list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram "
+            "  FROM base, unnest(generate_series(1, len(ws) - 7)) t(i) "
+            "  WHERE len(ws) >= 8) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM g a "
+            "JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 ORDER BY id_a, id_b"
         ),
         "winnow_near_dups": (
             "WITH base AS (SELECT doc_id, lower(regexp_replace(text, "
@@ -2691,6 +2776,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_markers": (
             "SELECT * FROM (VALUES (0, 'en'), (1, 'de'), (2, 'fr'), "
             "(3, 'und')) t(sample_id, lang_pred) ORDER BY sample_id"
+        ),
+        "pq_recall_within_bound": (
+            "SELECT vec_id AS query_id, 1 AS self_top1, 1 AS recall_ok "
+            "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"
         ),
         "simhash_self_hamming": (
             "SELECT doc_id, 0 AS self_hamming FROM documents "

@@ -160,8 +160,16 @@ def repetition_features(
     C kernels and the counting/grouping/argmax in numpy — NO Python
     objects on the data path (a mapInPandas twin that materialized the
     tokens as Python strings was GC-bound and 10-20x noisier, PLANS.md
-    §21) — value-identical (pytest-gated).  Use 'arrow' for full-corpus
-    curation scans, 'expr' when the column must stay a plan expression."""
+    §21) — value-identical (pytest-gated).
+
+    DEFAULT GUIDANCE (round-5 A/B, PLANS.md §27): 'expr' is the
+    recommended full-corpus default — on the 500k-page q17 workload its
+    run-to-run spread is 1.1x (16.2-18.3s) while 'arrow' swings 3.4-5x
+    (8.9-36.7s) across identical runs of identical code (Python-worker
+    scheduling amplifies this host's THP swing).  'arrow' has the better
+    BEST CASE (~2x faster than expr's floor) — use it when chasing
+    throughput on a host whose Python workers are stable, or when the
+    corpus is large enough to average out the variance."""
     if impl == "arrow":
         return _repetition_features_arrow(df, text_col, line_sep, ngram_ns)
     if impl != "expr":
@@ -412,9 +420,12 @@ def quality_filter(
     impl: str = "expr",
 ) -> DataFrame:
     """Gopher-rule document filter: keeps rows passing every threshold,
-    original schema preserved.  One scan, no shuffle either way; pass
-    impl='arrow' to route the repetition statistics through the
-    vectorized mapInArrow path for full-corpus runs."""
+    original schema preserved.  One scan, no shuffle either way.  The
+    default impl='expr' is also the recommended full-corpus setting
+    (round-5 A/B: stable 1.1x spread vs arrow's 3.4-5x on this host —
+    see repetition_features and PLANS.md §27); impl='arrow' routes the
+    repetition statistics through the vectorized mapInArrow path, whose
+    best case is ~2x faster but whose run-to-run variance is large."""
     t = F.col(text_col)
     words = words_col(t)
     n_words = F.size(words)

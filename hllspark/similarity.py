@@ -14,6 +14,11 @@
                            degrades gracefully to exact brute force.
 - near_duplicates_by_cosine : all pairs above a cosine threshold via the
                            same LSH bucketing (embedding near-dup dedup).
+- fit_pq_codebooks / pq_encode / pq_top_k : product quantization (round
+                           5) — 8 bytes per vector instead of 256
+                           (dim=64 float32), scored in the compressed
+                           domain via ADC lookup tables; the storage
+                           path for 10^12-row embedding tables.
 
 Hyperplanes are generated deterministically from a seed via the same
 xxhash64-expression trick used everywhere else — no RNG state, no Python.
@@ -399,6 +404,194 @@ def ivf_top_k_indexed(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 5): compressed-domain ANN.  At 10^12 rows the
+# raw float32 embedding table IS the storage bill — PQ (Jegou, Douze,
+# Schmid 2011, "Product Quantization for Nearest Neighbor Search") stores
+# one byte per subspace instead of 4 bytes per dimension (dim=64, m=8 ->
+# 32x smaller), and queries score the compressed codes directly via ADC
+# lookup tables without ever reconstructing vectors.
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+):
+    """Deterministic PQ codebooks: the corpus is unit-normalized (so ADC
+    dot products approximate cosine), split into ``m`` equal subvectors,
+    and each subspace gets its own L2 k-means codebook of ``2**nbits``
+    centroids, fit on the same bounded TakeOrdered driver sample as
+    :func:`fit_centroids` — O(sample_rows) collect regardless of corpus
+    size.  Returns a numpy (m, 2**nbits, dim//m) float64 array."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ks = 1 << nbits
+    dsub = dim // m
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64(F.to_json(F.struct("v"))))
+        .limit(sample_rows)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("fit_pq_codebooks: no non-null vectors to sample")
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ks, dsub))
+    for j in range(m):
+        S = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        k = min(ks, len(S))
+        # k-means++-lite init (cf. fit_centroids), then Lloyd iterations
+        idx = [int(rng.integers(len(S)))]
+        d2 = np.sum((S - S[idx[0]]) ** 2, axis=1)
+        for _ in range(1, k):
+            nxt = int(np.argmax(d2))
+            idx.append(nxt)
+            d2 = np.minimum(d2, np.sum((S - S[nxt]) ** 2, axis=1))
+        C = S[idx].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, :k] = C
+        if k < ks:
+            books[j, k:] = C[0]  # degenerate fill; codes never select it
+    return books
+
+
+def _pq_encode_udf(codebooks):
+    """Arrow-batched PQ encoder: normalize, split, one (batch x ks)
+    distance matrix per subspace — no per-row Python.  Emits m bytes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, dsub = B.shape
+
+    @pandas_udf("binary")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            # ||s - c||^2 = |s|^2 - 2 s.c + |c|^2; |s|^2 constant per row
+            d = -2.0 * (S @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code binary) — m bytes per vector; with dim=64 float32
+    input that is a 32x storage reduction.  Deterministic: numpy argmin
+    ties resolve to the lowest centroid index on every partitioning."""
+    enc = _pq_encode_udf(codebooks)
+    return corpus.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def pq_top_k(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC (asymmetric
+    distance computation): each query becomes an (m, 2**nbits) lookup
+    table of subvector dot products, and every corpus code is scored as
+    m table lookups — the vectors themselves are never read.
+
+    Plan: the query set is collected driver-side to build the LUT tensor
+    (bounded by contract — same shape as the brute-force baseline's
+    broadcast query side), the LUTs ride into an Arrow-batched
+    mapInPandas that emits only the per-batch top-k per query, and one
+    final window takes the global top-k — shuffle rows are bounded by
+    n_batches x n_queries x k, never by the corpus.  Returns
+    (query_id, vec_id, score, rank); ``score`` approximates the cosine
+    of the normalized vectors."""
+    import numpy as np
+
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ks, dsub = B.shape
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return codes.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rank int"
+        )
+    qids = np.asarray([r[0] for r in qrows])
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # luts[q, j, c] = dot(query_subvec_j, codebook[j, c])
+    luts = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            # scores[q, i] = sum_j luts[q, j, C[i, j]] — index arrays
+            # (1, m) x (n, m) broadcast to (n, m), giving (nq, n, m)
+            s = luts[:, np.arange(m)[None, :], C].sum(axis=2)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, s.shape[1])
+            # per-batch partial top-k per query, ordered (score desc,
+            # id asc) so boundary ties are partition-invariant — the
+            # same rule the final window applies
+            rows_q, rows_i, rows_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -s[qi]))[:kk]
+                rows_q.append(np.full(kk, qids[qi]))
+                rows_i.append(ids[order])
+                rows_s.append(s[qi, order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(rows_q),
+                    id_col: np.concatenate(rows_i),
+                    "score": np.concatenate(rows_s),
+                }
+            )
+
+    partial = codes.mapInPandas(
+        score, f"{query_id_col} long, {id_col} long, score double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def near_duplicates_by_cosine(

@@ -525,3 +525,60 @@ def dedup_stream_approx(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ingest_dedup_sink(
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    within_batch: bool = True,
+    collector=None,
+    **index_kw,
+):
+    """foreachBatch sink for STREAMED near-dedup ingest — the loop a
+    crawler actually runs, composed from the incremental LSH index
+    (hllspark.dedup):
+
+        batch -> deduplicate_near (within batch, optional)
+              -> dedup_against_index (vs every previously kept doc)
+              -> append_to_index (promote survivors, atomic commit)
+
+    The first micro-batch bootstraps the index when none exists at
+    ``index_path``.  Survivor semantics are first-arrival-wins across
+    micro-batches (identical to the batch append loop documented on
+    append_to_index — equal to one-shot deduplicate_near whenever no
+    near-dup chain straddles batches).  The index's atomic sidecar
+    commit makes the sink restart-safe: a micro-batch killed mid-append
+    leaves the index unchanged and the replayed batch re-deduplicates
+    against the same committed state.  ``collector(keep_df, batch_id)``
+    is invoked with each batch's survivors (e.g. to write them to the
+    corpus sink).
+
+    Use with ``writeStream.foreachBatch(...)`` and ONE active query per
+    index (the sidecar protocol is single-writer)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from . import dedup as _dedup
+
+        batch = (
+            _dedup.deduplicate_near(batch_df, text_col, id_col, threshold)
+            if within_batch
+            else batch_df
+        )
+        if not os.path.exists(f"{index_path}/{_dedup._LSH_META}"):
+            _dedup.write_minhash_index(
+                batch, index_path, text_col, id_col, **index_kw
+            )
+            keep = batch
+        else:
+            keep = _dedup.dedup_against_index(
+                batch, index_path, text_col, id_col, threshold
+            )
+            _dedup.append_to_index(keep, index_path, text_col, id_col)
+        if collector is not None:
+            collector(keep, batch_id)
+
+    return sink

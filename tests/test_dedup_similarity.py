@@ -183,6 +183,56 @@ def test_ivf_partial_probe_recall(spark, emb):
     assert hits / total >= 0.6
 
 
+def test_pq_encode_and_topk_recall(spark, emb):
+    """Product quantization (round 5): codes are m bytes (32x smaller
+    than the 64-dim float32 input), encoding is deterministic and
+    partition-invariant, ADC top-k recalls the exact cosine top-k on the
+    fixture, and self is always its own top hit."""
+    corpus = emb.cache()
+    dim = len(corpus.first()["embedding"])
+    books = similarity.fit_pq_codebooks(corpus, dim, m=8, nbits=8, seed=7)
+    assert books.shape == (8, 256, dim // 8)
+    b2 = similarity.fit_pq_codebooks(corpus, dim, m=8, nbits=8, seed=7)
+    np.testing.assert_array_equal(books, b2)
+
+    codes = similarity.pq_encode(corpus, books)
+    rows = codes.collect()
+    assert all(len(r["pq_code"]) == 8 for r in rows)  # 8 bytes vs 256
+    again = dict(
+        (r["vec_id"], bytes(r["pq_code"]))
+        for r in similarity.pq_encode(corpus.repartition(13), books).collect()
+    )
+    assert all(again[r["vec_id"]] == bytes(r["pq_code"]) for r in rows)
+
+    queries = corpus.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_top_k(corpus, queries, k=10).collect()
+    approx = similarity.pq_top_k(codes, queries, books, k=10).collect()
+    exact_sets, approx_sets, approx_top1 = {}, {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            approx_top1[r["query_id"]] = r["vec_id"]
+    # ADC score of the query's own code is the max possible -> self top-1
+    for qid in exact_sets:
+        assert approx_top1[qid] == qid
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total >= 0.7, f"recall {hits}/{total}"
+    # partition invariance of the full ranked result
+    a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in approx)
+    b = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in similarity.pq_top_k(
+            codes.repartition(13), queries, books, k=10
+        ).collect()
+    )
+    assert a == b
+
+
 def test_fit_centroids_deterministic(spark, emb):
     corpus = emb.limit(200)
     dim = len(corpus.first()["embedding"])

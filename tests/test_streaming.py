@@ -575,3 +575,80 @@ def test_streaming_curation_filter_matches_batch(spark, tmp_path):
         assert rows[k]["pii_total"] == want[k]["pii_total"]
         assert rows[k]["redacted"] == want[k]["redacted"]
     assert "<EMAIL>" in rows[3]["redacted"] and "<PHONE>" in rows[3]["redacted"]
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
+    """dedup-at-ingest (round 5): three micro-batches through
+    streaming.ingest_dedup_sink (bootstrap -> dedup_against_index ->
+    append_to_index per batch) keep exactly the one-shot
+    deduplicate_near survivor set — the streamed twin of
+    test_minhash_index_append_three_batch_ingest."""
+    import os
+    import time
+
+    from hllspark import dedup
+
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+         (11, "red green blue cyan magenta yellow")],   # fresh
+        [(20, "one two three four five six seven"),     # dup of 2
+         (21, "red green blue cyan magenta yellow"),    # dup of 11
+         (22, "lorem ipsum dolor sit amet consectetur")],  # fresh
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # one parquet FILE per batch with strictly increasing mtimes so the
+    # file source replays them in arrival order (survivorship is
+    # first-arrival-wins, so order is part of the contract)
+    t0 = time.time()
+    for i, rows in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        dst = f"{src}/batch_{i}.parquet"
+        os.rename(f"{d}/{part}", dst)
+        os.utime(dst, (t0 + 10 * i, t0 + 10 * i))
+
+    index_path = str(tmp_path / "idx")
+    survivors: set[int] = set()
+    n_batches = []
+
+    def collect(keep, bid):
+        survivors.update(r["doc_id"] for r in keep.select("doc_id").collect())
+        n_batches.append(bid)
+
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            streaming.ingest_dedup_sink(index_path, collector=collect)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(n_batches) == 3, n_batches
+    one_shot_rows = [r for b in batches for r in b]
+    one_shot = {
+        r["doc_id"]
+        for r in dedup.deduplicate_near(
+            spark.createDataFrame(one_shot_rows, "doc_id long, text string")
+        ).select("doc_id").collect()
+    }
+    assert survivors == one_shot == {1, 2, 11, 22}
+    # the index is live and committed: a re-probe of any survivor dedups
+    probe = spark.createDataFrame(
+        [(99, "lorem ipsum dolor sit amet consectetur")],
+        "doc_id long, text string",
+    )
+    assert dedup.dedup_against_index(probe, index_path).count() == 0
+    assert dedup._read_meta(index_path)["batches"] == [0, 1, 2]
