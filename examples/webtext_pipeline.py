@@ -188,6 +188,43 @@ def main() -> int:
     )
     assert budgeted.count() <= balanced.count()
 
+    # 4f. round-5 ops: vocab-capped LM scoring (the open-vocab 100 TB
+    # path — Misra-Gries candidates, broadcast model tables) and PQ
+    # compression of a synthetic embedding column (32x under float32)
+    lm_capped = curation.lm_perplexity_scores(
+        balanced.withColumn("did", F.xxhash64("url")),
+        id_col="did",
+        max_vocab=24,
+    )
+    assert lm_capped.where(F.col("cross_entropy") < 0).count() == 0
+    from hllspark import similarity
+
+    emb = balanced.limit(200).select(
+        F.xxhash64("url").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (
+                F.pmod(F.xxhash64("url", i), F.lit(1000)).cast("float")
+                / F.lit(500.0)
+                - F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    ).cache()
+    books = similarity.fit_pq_codebooks(emb, dim=16, m=4, nbits=6)
+    pq_q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pq_top = similarity.pq_top_k(
+        similarity.pq_encode(emb, books), pq_q, books, k=5
+    )
+    pq_self_top1 = (
+        pq_top.where(
+            (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+        ).count()
+    )
+    assert pq_self_top1 == 3, "PQ self-recall violated"
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -217,6 +254,7 @@ def main() -> int:
         "bm25_top_score": round(top_ranked[0]["score"], 4) if top_ranked else None,
         "boilerplate_lines_dropped": boiler_dropped,
         "train_chunks_2048": pack_stats["n_chunks"],
+        "pq_self_top1": pq_self_top1,
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary, default=str))
