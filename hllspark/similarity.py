@@ -19,6 +19,9 @@
                            (dim=64 float32), scored in the compressed
                            domain via ADC lookup tables; the storage
                            path for 10^12-row embedding tables.
+- write_pq_index / pq_top_k_indexed : IVF-PQ — cell-partitioned parquet
+                           of PQ codes; probes are partition-pruned
+                           scans of 8-byte rows scored via ADC.
 
 Hyperplanes are generated deterministically from a seed via the same
 xxhash64-expression trick used everywhere else — no RNG state, no Python.
@@ -591,6 +594,98 @@ def pq_top_k(
     )
     return partial.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    m: int = 8,
+    nbits: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+):
+    """IVF-PQ: the two 10^12-scale levers composed — IVF cell
+    partitioning (probe reads nprobe/n_centroids of the FILES) times PQ
+    compression (each row is id + m bytes instead of id + dim floats).
+    Writes a parquet table (id, pq_code) partitioned by ``__cell`` with
+    a JSON sidecar holding both the IVF centroids and the PQ codebooks,
+    so probes reproduce the exact fitted quantizers.  Returns
+    (centroids, codebooks)."""
+    import json
+    import os
+
+    C = fit_centroids(
+        corpus, dim, n_centroids, vec_col, sample_rows=sample_rows, seed=seed
+    )
+    books = fit_pq_codebooks(
+        corpus, dim, m, nbits, vec_col, sample_rows=sample_rows, seed=seed
+    )
+    one_cell = _assign_cells_udf(C, 1)
+    enc = _pq_encode_udf(books)
+    (
+        corpus.select(
+            id_col,
+            enc(F.col(vec_col)).alias("pq_code"),
+            F.element_at(one_cell(F.col(vec_col)), 1).alias("__cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_pq_index.json"), "w") as fh:
+        json.dump({"centroids": C.tolist(), "codebooks": books.tolist()}, fh)
+    return C, books
+
+
+def pq_top_k_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a written IVF-PQ index: the union of every query's nprobe
+    nearest cells becomes a static partition filter (only those cell
+    directories are READ — 8-byte rows at that), and the pruned code
+    scan feeds straight into :func:`pq_top_k`'s ADC scoring.  Scoring a
+    scanned row against a query that did not probe its cell only ever
+    ADDS recall, so the per-query result is a superset-quality version
+    of strict per-query probing at identical scan cost."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "_pq_index.json")) as fh:
+        meta = json.load(fh)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    probe_cells = _assign_cells_udf(C, nprobe)
+    cells = sorted(
+        r[0]
+        for r in queries.select(
+            F.explode(probe_cells(F.col(query_vec_col))).alias("__cell")
+        )
+        .distinct()
+        .collect()
+    )
+    codes = spark.read.parquet(index_path).where(F.col("__cell").isin(cells))
+    return pq_top_k(
+        codes.select(id_col, "pq_code"),
+        queries,
+        books,
+        k,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
     )
 
 
