@@ -1508,6 +1508,19 @@ def _q_mixture_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def _q_temperature_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature rebalancing at T=2 (round 5, mBERT/XLM-R-style):
+    target proportions derived IN-PLAN as n_g^(1/2)/sum — sqrt is
+    IEEE-exact in both engines, so the oracle reproduces the scale
+    factor, the per-stratum takes AND the exact md5-hash-order
+    membership."""
+    from hllspark import sampling
+
+    docs = _t(spark, sf, "documents")
+    out = sampling.temperature_sample(docs, "lang", "doc_id", 2.0, seed=7)
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def _q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-ES, hllspark/sampling.py): 100 docs drawn with probability
@@ -1960,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "mixture_sample_docs": _q_mixture_sample_docs,
+        "temperature_sample_docs": _q_temperature_sample_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
@@ -2419,6 +2433,23 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
             "  ORDER BY substring(md5(concat_ws(chr(31), "
             "  CAST(doc_id AS VARCHAR), '5')), 1, 8), doc_id) AS rn "
+            "  FROM documents) "
+            "SELECT r.lang, r.doc_id FROM r JOIN lim USING (lang) "
+            "WHERE rn <= take ORDER BY lang, doc_id"
+        ),
+        "temperature_sample_docs": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "  GROUP BY lang), "
+            "w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c), "
+            "t AS (SELECT sum(w) AS tw FROM w), "
+            "caps AS (SELECT lang, w / tw AS p, "
+            "  CAST(n AS DOUBLE) / (w / tw) AS cap FROM w, t), "
+            "s AS (SELECT min(cap) AS s FROM caps), "
+            "lim AS (SELECT lang, CAST(floor(p * s) AS BIGINT) AS take "
+            "  FROM caps, s), "
+            "r AS (SELECT lang, doc_id, row_number() OVER ("
+            "  PARTITION BY lang ORDER BY substring(md5(concat_ws(chr(31), "
+            "  CAST(doc_id AS VARCHAR), '7')), 1, 8), doc_id) AS rn "
             "  FROM documents) "
             "SELECT r.lang, r.doc_id FROM r JOIN lim USING (lang) "
             "WHERE rn <= take ORDER BY lang, doc_id"

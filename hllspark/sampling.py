@@ -257,6 +257,60 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    temperature: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual-pretraining
+    standard, mBERT/XLM-R/mT5): target proportions p_g ∝ n_g^(1/T), so
+    T = 1 keeps the natural distribution (everything sampled) and larger
+    T flattens it toward uniform, up-weighting low-resource strata
+    RELATIVELY by down-sampling the head.  Returns the LARGEST sample
+    whose stratum shares follow p_g exactly (flooring) without
+    oversampling any stratum — the same largest-feasible semantics as
+    :func:`mixture_sample`, with the proportions DERIVED IN-PLAN from
+    the stratum counts (no driver-side distribution knowledge needed).
+
+    Plan: one tiny count aggregate -> weights n^(1/T) (``sqrt`` when
+    T = 2 — IEEE-exact in every engine, which is what the contract
+    oracle uses) -> total via a broadcast 1-row cross join -> per-
+    stratum take = floor(p_g * min_g(n_g / p_g)) -> md5-hash-rank
+    window membership.  Everything before the final window is
+    broadcast-sized; the one real shuffle is the per-stratum window,
+    same as mixture_sample."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    inv = 1.0 / float(temperature)
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    nn = F.col("__n").cast("double")
+    w = F.sqrt(nn) if inv == 0.5 else F.pow(nn, F.lit(inv))
+    weights = counts.select(F.col(strata_col), "__n", w.alias("__w"))
+    tot = weights.agg(F.sum("__w").alias("__tw"))
+    caps = weights.crossJoin(F.broadcast(tot)).select(
+        F.col(strata_col),
+        (F.col("__w") / F.col("__tw")).alias("__prop"),
+        (F.col("__n").cast("double") / (F.col("__w") / F.col("__tw"))).alias(
+            "__cap"
+        ),
+    )
+    s = caps.agg(F.min("__cap").alias("__s"))
+    takes = caps.crossJoin(F.broadcast(s)).select(
+        F.col(strata_col),
+        F.floor(F.col("__prop") * F.col("__s")).cast("long").alias("__take"),
+    )
+    h = _md5_hex8([F.col(key_col)], seed)
+    win = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.join(F.broadcast(takes), strata_col)
+        .withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= F.col("__take"))
+        .drop("__rn", "__take")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_cols: list[str] | str,

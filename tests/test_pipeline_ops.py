@@ -504,6 +504,49 @@ def test_mixture_sample_exact_proportions(spark):
     assert empty.count() == 0
 
 
+def test_temperature_sample_semantics(spark):
+    """temperature_sample (round 5): T=1 keeps everything (p ∝ n is
+    always feasible), larger T flattens the mixture (low-resource share
+    strictly rises), takes follow floor(p_g * s) exactly, membership is
+    partition-invariant."""
+    import math
+
+    from hllspark import sampling
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    counts = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_total = sum(counts.values())
+    # T = 1: natural distribution -> the whole corpus survives
+    assert sampling.temperature_sample(docs, "lang", "doc_id", 1.0).count() \
+        == n_total
+    # T = 2: exact takes per the formula
+    out = sampling.temperature_sample(docs, "lang", "doc_id", 2.0, seed=7)
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    w = {g: math.sqrt(n) for g, n in counts.items()}
+    tw = sum(w[g] for g in sorted(w))
+    p = {g: w[g] / tw for g in w}
+    s = min(counts[g] / p[g] for g in counts)
+    want = {g: math.floor(p[g] * s) for g in counts}
+    assert got == want
+    # flattening: the rarest stratum's SHARE rises vs natural
+    rare = min(counts, key=counts.get)
+    assert got[rare] / sum(got.values()) > counts[rare] / n_total
+    # no stratum oversampled; at T>1 the binding stratum is the RAREST
+    # (cap ∝ sqrt(n) is smallest there), so it is kept in full
+    assert all(got[g] <= counts[g] for g in counts)
+    assert got[rare] == counts[rare]
+    # partition invariance
+    a = sorted(map(tuple, out.select("lang", "doc_id").collect()))
+    b = sorted(map(tuple, sampling.temperature_sample(
+        docs.repartition(17), "lang", "doc_id", 2.0, seed=7)
+        .select("lang", "doc_id").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        sampling.temperature_sample(docs, "lang", "doc_id", 0.0)
+
+
 def test_shuffle_rows_deterministic_partition_invariant(spark):
     """Global deterministic shuffle: identical order across partitionings
     and runs; a different seed gives a different (but valid) permutation;
