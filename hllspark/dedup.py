@@ -131,19 +131,22 @@ def _minhash_signatures_df(
 def _banded_df(sig: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
     """(id, band, bucket) from an (id, __sig) signature table.  Bands are
     unrolled in Python: __sig referenced `bands` times keeps its projection
-    un-collapsed, so the signature is computed once per row, not per band."""
+    un-collapsed, so the signature is computed once per row, not per band.
+    The bucket is xxhash64 over the band's `rows` signature LONGS directly
+    (round 5) — the previous cast-to-string/array_join form allocated
+    bands x rows strings per row for no semantic gain.  Bucket values
+    changed with this; persisted indexes are guarded by _read_meta's
+    layout check (the round-5 batch-directory layout changed in the same
+    release, so any older index already fails loudly there)."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("__sig"), b * rows + 1, rows),
-                            lambda h: h.cast("string"),
-                        ),
-                        ",",
-                    )
+                    *[
+                        F.element_at(F.col("__sig"), b * rows + j + 1)
+                        for j in range(rows)
+                    ]
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -704,7 +707,14 @@ def _read_meta(path: str) -> dict:
     import json
 
     with open(f"{path}/{_LSH_META}") as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    if "batches" not in meta:
+        raise ValueError(
+            f"LSH index at {path!r} was written by an older hllspark "
+            "(pre-batch-directory layout / string band buckets); rebuild "
+            "it with write_minhash_index"
+        )
+    return meta
 
 
 def _next_batch_id(path: str, meta: dict) -> int:

@@ -50,6 +50,33 @@ def test_shingles(spark):
     assert rows[2]["s"] == []
 
 
+def test_shingles_zipwith_matches_reference_form(spark):
+    """The round-5 zip_with shingle formulation must be byte-identical to
+    the straightforward transform/slice/array_join definition on every
+    edge: short docs, exact-k docs, duplicate grams, whitespace runs,
+    null text, and k in {1, 2, 5}."""
+    rows = [(i, t) for i, t in enumerate(
+        ["a b c d e", "a b", "a b c", "", None, "  x   y  z ", "one",
+         "a a a a", "w1 w2 w3 w4 w5 w6 w7 w8"])]
+    df = spark.createDataFrame(rows, "i long, text string")
+
+    def reference(text, k):
+        words = htext.words_col(text)
+        n = F.size(words) - F.lit(k - 1)
+        return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            )
+        )
+
+    for k in (1, 2, 5):
+        got = df.select("i", htext.shingles(F.col("text"), k).alias("g"),
+                        reference(F.col("text"), k).alias("r")).collect()
+        for r in got:
+            assert r["g"] == r["r"], (k, r["i"], r["g"], r["r"])
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [("hello world",), ("a, b! c?",), ("",)], "text string"
