@@ -134,6 +134,15 @@ def main() -> None:
         .cache()
     )
     n_pages_500k = pages_500k.count()
+    # 5% slice for the winnow fingerprint key (q20): fingerprint selection
+    # is compute-bound per document, so a bounded slice keeps wall time
+    # stable while rows/sec still measures the operator
+    pages_100k = (
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(20)) == 0)
+        .select("url", "text")
+        .cache()
+    )
+    n_pages_100k = pages_100k.count()
 
     # planted-skew corpus for q9: one document duplicated 2000x
     one_text = documents.where(F.col("doc_id") == 0).first()["text"]
@@ -303,6 +312,13 @@ def main() -> None:
         "q19_canonical_urls_2m": lambda: pages.select(
             F.max(F.xxhash64(curation.canonical_url(F.col("url"))))
         ).collect(),
+        # winnowing fingerprint extraction (MOSS selection) over a 100k-page
+        # deterministic slice — the substring-signal dedup hot path; round 5
+        # made it 31x faster (zip_with sliding min + materialized hash array,
+        # PLANS §32), this key guards the throughput
+        "q20_winnow_fps_100k": lambda: dedup.winnow_fingerprint_rows(
+            pages_100k, "text", "url"
+        ).count(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -363,6 +379,9 @@ def main() -> None:
             n_pages_500k / results["q17_curation_pages_500k"]
         ),
         "pack_docs_per_sec": round(2_000_000 / results["q18_pack_pages_2m"]),
+        "winnow_docs_per_sec": round(
+            n_pages_100k / results["q20_winnow_fps_100k"]
+        ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]
         ),

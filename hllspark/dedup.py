@@ -466,11 +466,19 @@ def deduplicate_near(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text, seed: int = 11):
-    """64-bit SimHash of the whitespace tokens, pure SQL: for each bit b,
-    the sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1)."""
-    words = words_col(text)
-    hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
+def simhash_from_hashes(hashes) -> "F.Column":
+    """64-bit SimHash from a precomputed array<bigint> of token hashes:
+    for each bit b, the sign of sum over tokens of (bit b set ? +1 : -1).
+
+    Separated from :func:`simhash` for callers that already carry a
+    token-hash array (it composes with :func:`token_hashes`).  NOTE this
+    is NOT the PLANS §31 lambda-capture trap: the 64 bit-vote references
+    to ``hashes`` are SIBLINGS at the projection top level, which
+    codegen's subexpression elimination already collapses — measured at
+    parity (0.24s vs 0.25s, 200k pages) with the materialized-column
+    form.  The trap only bites when the repeated expression sits INSIDE
+    a lambda (per-element re-evaluation), as winnowing's sliding window
+    did."""
 
     def bit(b):  # b: Column bit index
         return F.when(
@@ -491,6 +499,54 @@ def simhash(text, seed: int = 11):
         )
 
     return F.shiftleft(half(63, 32), 32).bitwiseOR(half(31, 0))
+
+
+def simhash(text, seed: int = 11):
+    """64-bit SimHash of the whitespace tokens, pure SQL: for each bit b,
+    the sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1)."""
+    words = words_col(text)
+    hashes = F.transform(words, lambda w: F.xxhash64(w, F.lit(seed)))
+    return simhash_from_hashes(hashes)
+
+
+def token_hashes(text, seed: int = 11):
+    """array<bigint> of xxhash64(token, seed) for the engine tokenizer's
+    tokens — the materialization target for simhash_from_hashes."""
+    return F.transform(words_col(text), lambda w: F.xxhash64(w, F.lit(seed)))
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) — one row per distinct winnowing fingerprint of
+    each document (Schleimer et al. 2003 selection over word-k-gram
+    xxhash64 values; text.sliding_min).
+
+    The k-gram hash array gets its OWN projection: sliding_min references
+    it ``window`` times as HOF/slice arguments, and expressions containing
+    lambda functions are excluded from codegen subexpression elimination —
+    but CollapseProject keeps a non-cheap alias referenced more than once
+    un-inlined (same trick as _minhash_signatures_df), so the shingle+hash
+    chain runs once per row instead of once per reference.  Measured
+    (200k ~100-token pages, PLANS §32): 638 rows/s (pre-round-5
+    transform(sequence) form) -> 5.2k (sliding_min column form) -> 20.0k
+    rows/s (this shape), identical fingerprints."""
+    from .text import shingles, sliding_min
+
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            shingles(F.col(text_col), k), lambda g: F.xxhash64(g)
+        ).alias("__h"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(sliding_min(F.col("__h"), window)).alias("fingerprint"),
+    )
 
 
 def winnow_near_duplicates(
@@ -518,18 +574,16 @@ def winnow_near_duplicates(
     co-partitioned self-join, pair-grain count — shuffle carries (id,
     fp) longs only."""
     from .lshutil import drop_oversize_buckets
-    from .text import winnow_fingerprints
 
     # localCheckpoint, not persist: the fingerprint table feeds the cap
     # pass, the per-doc counts and both self-join sides, but the returned
     # plan escapes this function so a persist could never be unpersisted
     # (the round-4 cache-lifecycle rule; blocks free on GC)
-    fps = df.select(
-        F.col(id_col),
-        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias(
-            "__fp"
-        ),
-    ).localCheckpoint(eager=True)
+    fps = (
+        winnow_fingerprint_rows(df, text_col, id_col, k, window)
+        .withColumnRenamed("fingerprint", "__fp")
+        .localCheckpoint(eager=True)
+    )
     counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nfp"))
     capped = drop_oversize_buckets(fps, ["__fp"], max_bucket_size, "winnow")
     a = capped.select(F.col(id_col).alias("id_a"), "__fp")

@@ -216,20 +216,39 @@ def farmhash_fingerprint_udf():
     return F.pandas_udf(_fp, "long")
 
 
+def sliding_min(hashes: Column, window: int) -> Column:
+    """Distinct per-window minima of an array<bigint> — the winnowing
+    selection step, separated so callers can materialize the hash array
+    in its own projection (cf. dedup.winnow_fingerprint_rows).
+
+    Chained ``zip_with``/``least`` over shifted slices — the same
+    lambda-capture-trap fix as :func:`shingles` (PLANS.md §21/§31): the
+    previous ``transform(sequence, i -> array_min(slice(hashes, i, w)))``
+    re-evaluated the captured ``hashes`` expression — the whole
+    shingle+hash chain — once PER WINDOW, i.e. O(k·w^2) per document.
+    After j zips, position i holds min(hashes[i..i+j]); ``least`` skips
+    the nulls zip_with pads the shorter side with, so the trailing
+    window-1 positions hold partial-window minima — sliced off (only
+    positions 1..n_win are full windows)."""
+    size = F.size(hashes)
+    n_win = size - F.lit(window - 1)
+    mins = hashes
+    for j in range(1, window):
+        shifted = F.slice(hashes, j + 1, F.greatest(size - j, F.lit(1)))
+        mins = F.zip_with(mins, shifted, lambda a, b: F.least(a, b))
+    full = F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
+        F.slice(mins, 1, n_win)
+    )
+    return F.array_distinct(full)
+
+
 def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer et al. 2003): hash every
     k-gram (word level), then keep the minimum hash of each sliding window —
     returns array<bigint> of selected fingerprints.  Pure SQL."""
     grams = shingles(text, k)
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    n_win = F.size(hashes) - F.lit(window - 1)
-    mins = F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
-        )
-    )
-    return F.array_distinct(mins)
+    return sliding_min(hashes, window)
 
 
 def explode_tokens(

@@ -77,6 +77,39 @@ def test_shingles_zipwith_matches_reference_form(spark):
             assert r["g"] == r["r"], (k, r["i"], r["g"], r["r"])
 
 
+def test_winnow_fingerprints_zipwith_matches_reference_form(spark):
+    """The round-5 zip_with/least sliding-min must select exactly the same
+    fingerprints as the straightforward transform(sequence, i ->
+    array_min(slice(hashes, i, w))) definition on every edge: short docs,
+    exact-window docs, duplicate grams, null text, and (k, window) combos
+    including window=1."""
+    rows = [(i, t) for i, t in enumerate(
+        ["a b c d e f g h", "a b", "a b c d e", "", None, "  x   y  z ",
+         "one", "a a a a a a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"])]
+    df = spark.createDataFrame(rows, "i long, text string")
+
+    def reference(text, k, window):
+        grams = htext.shingles(text, k)
+        hashes = F.transform(grams, lambda g: F.xxhash64(g))
+        n_win = F.size(hashes) - F.lit(window - 1)
+        mins = F.when(n_win < 1, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        )
+        return F.array_distinct(mins)
+
+    for k, window in ((1, 2), (2, 4), (5, 4), (3, 1), (2, 7)):
+        got = df.select(
+            "i",
+            htext.winnow_fingerprints(F.col("text"), k, window).alias("g"),
+            reference(F.col("text"), k, window).alias("r"),
+        ).collect()
+        for r in got:
+            assert r["g"] == r["r"], (k, window, r["i"], r["g"], r["r"])
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [("hello world",), ("a, b! c?",), ("",)], "text string"
