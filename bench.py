@@ -58,6 +58,22 @@ def build_session() -> SparkSession:
     return builder.getOrCreate()
 
 
+def ratio_interleaved(fn_num, fn_den, pairs: int = 5) -> float:
+    """Median of back-to-back per-pair time ratios — host drift between
+    two separately-timed sub-second queries moves a ratio-of-medians by
+    up to ~1.6x on this VM; pairing cancels it."""
+    ratios = []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        fn_num()
+        t1 = time.perf_counter()
+        fn_den()
+        t2 = time.perf_counter()
+        ratios.append((t1 - t0) / (t2 - t1))
+    ratios.sort()
+    return round(ratios[len(ratios) // 2], 3)
+
+
 def timed(fn, reps: int = REPS) -> float:
     fn()
     fn()  # two warm-ups: JVM C2 compilation of codegen'd stages needs >1 pass
@@ -370,6 +386,14 @@ def main() -> None:
         ),
         "ours_vs_builtin_hllpp": round(
             results["q1_hll_lineitem_grouped"] / results["b1_spark_approx_cd"], 3
+        ),
+        # the robust form of the same ratio: both sides are sub-second, so
+        # taking each from its own median minutes apart lets host drift
+        # (documented ~3x single-thread swing, PLANS §21) move the ratio
+        # 1.66-2.60 across clean runs of IDENTICAL code.  Back-to-back
+        # pairs cancel the drift; median of per-pair ratios reported.
+        "ours_vs_builtin_hllpp_interleaved": ratio_interleaved(
+            queries["q1_hll_lineitem_grouped"], queries["b1_spark_approx_cd"]
         ),
         "hashonly_floor_rows_per_sec": round(
             SYNTH_ROWS / results["b0_hashonly_20m"]
