@@ -1394,6 +1394,41 @@ def _q_winnow_guarantee_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return rp.join(wp, ["id_a", "id_b"]).orderBy("id_a", "id_b")
 
 
+def _q_exact_substr_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicate-run REMOVAL (round 5; Lee et al.
+    2022, arXiv:2107.06499): every token inside a duplicated run of
+    >= 8 tokens is cut, with keep_first=True exempting the (min doc_id,
+    min pos) occurrence so one copy of each passage survives.  Planted
+    full copies of docs 0-4 (at +1000) must lose their ENTIRE text to
+    the originals; organic shared 8-gram runs in the fixture are cut on
+    the later document only.  The oracle replicates the whole pipeline
+    in SQL — gram counts, first-occurrence rank, position coverage, and
+    the exact surviving token sequence."""
+    from hllspark import dedup
+
+    base = _t(spark, sf, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    aug = base.unionByName(
+        base.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), F.col("text")
+        )
+    )
+    out = dedup.remove_duplicate_runs(
+        aug, min_run=8, min_count=2, keep_first=True
+    )
+    return (
+        out.where(F.col("n_removed") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            "kept_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_canonical_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (round 4): three syntactic variants of the
     same logical page (mixed case, default port, shuffled query params,
@@ -1935,6 +1970,7 @@ _HEAD = [
     "dedup_clusters",
     "near_dedup_count",
     "index_dedup_new_batch",
+    "exact_substr_removal",
     # similarity / ANN
     "ann_ivf_indexed_top3",
     "embedding_near_dup_pairs",
@@ -1981,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_dedup": _q_canonical_url_dedup,
         "winnow_near_dups": _q_winnow_near_dups,
         "winnow_guarantee_pairs": _q_winnow_guarantee_pairs,
+        "exact_substr_removal": _q_exact_substr_removal,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2330,6 +2367,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM aug a, aug b "
             "WHERE a.doc_id < b.doc_id AND b.doc_id >= 1000 "
             "AND a.norm = b.norm ORDER BY id_a, id_b"
+        ),
+        "exact_substr_removal": (
+            "WITH src AS (SELECT doc_id, text FROM documents "
+            "  WHERE doc_id < 300 "
+            "  UNION ALL SELECT doc_id + 1000, text FROM documents "
+            "  WHERE doc_id < 5), "
+            "base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "  FROM src), "
+            "g AS (SELECT doc_id, i AS pos, "
+            "  list_aggregate(ws[i:i+7], 'string_agg', ' ') AS gram "
+            "  FROM base, unnest(generate_series(1, len(ws) - 7)) t(i) "
+            "  WHERE len(ws) >= 8), "
+            "f AS (SELECT doc_id, pos, "
+            "  count(*) OVER (PARTITION BY gram) AS c, "
+            "  row_number() OVER (PARTITION BY gram "
+            "    ORDER BY doc_id, pos) AS rn FROM g), "
+            "st AS (SELECT doc_id, pos FROM f WHERE c >= 2 AND rn > 1), "
+            "cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM st, "
+            "  unnest(generate_series(0, 7)) t(o)), "
+            "tok AS (SELECT doc_id, i AS p, ws[i] AS w FROM base, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "kp AS (SELECT t.doc_id, count(*) AS n_kept, "
+            "  string_agg(t.w, ' ' ORDER BY t.p) AS kept_text "
+            "  FROM tok t LEFT JOIN cov c "
+            "  ON t.doc_id = c.doc_id AND t.p = c.p "
+            "  WHERE c.doc_id IS NULL GROUP BY t.doc_id) "
+            "SELECT b.doc_id, CAST(len(b.ws) AS BIGINT) AS n_tokens, "
+            "CAST(len(b.ws) - coalesce(k.n_kept, 0) AS BIGINT) "
+            "  AS n_removed, "
+            "coalesce(k.kept_text, '') AS kept_text "
+            "FROM base b LEFT JOIN kp k USING (doc_id) "
+            "WHERE len(b.ws) - coalesce(k.n_kept, 0) > 0 ORDER BY doc_id"
         ),
         "canonical_url_dedup": (
             "SELECT doc_id, CAST(1 AS BIGINT) AS n_canonical, "

@@ -931,3 +931,142 @@ def dedup_against_index(
         .distinct()
     )
     return new_docs.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate token-run) removal
+# ---------------------------------------------------------------------------
+
+def duplicate_run_starts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run: int = 50,
+    min_count: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """(id, starts) — sorted 0-based token positions at which a duplicated
+    run of ``min_run`` tokens begins.  A position is duplicated when its
+    ``min_run``-gram occurs at least ``min_count`` times corpus-wide
+    (counting repeats inside the same document, like the suffix-array
+    ExactSubstr dedup of Lee et al. 2022, arXiv:2107.06499).  With
+    ``keep_first`` the single occurrence with the smallest (id, pos) is
+    exempted, so one copy of each duplicated passage survives.
+
+    Plan: gram stream is (id, pos, xxhash64(gram)) — never gram text.
+    Corpus-wide counts come from a groupBy(h) with map-side combine
+    (reduce side sees one row per DISTINCT gram — boilerplate grams do
+    not hotspot the agg), and the keep-first exemption is min(struct(id,
+    pos)) in the SAME agg, then one h-keyed join back (AQE splits the
+    skewed h partitions that a window over h could not).  Output shuffles
+    (id, pos) pairs only.
+    """
+    if min_run < 1:
+        raise ValueError("min_run must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    from .decontam import ngram_col
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ngram_col(F.col(text_col), min_run)).alias("pos", "gram"),
+    ).select("id", "pos", F.xxhash64("gram").alias("h"))
+    per_gram = (
+        grams.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("id", "pos")).alias("first"),
+        )
+        .where(F.col("c") >= min_count)
+    )
+    dup = grams.join(per_gram, "h")
+    if keep_first:
+        dup = dup.where(
+            (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+        )
+    return dup.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
+    )
+
+
+def remove_duplicate_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_run: int = 50,
+    min_count: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al. 2022): cut every token that
+    lies inside a duplicated run of ``min_run`` tokens, keeping the rest
+    of the document.  Adds ``n_tokens`` (before), ``n_removed`` and
+    ``kept_text`` (surviving tokens joined by single spaces — the engine
+    tokenizer normalizes whitespace, like every text operator here).
+
+    After duplicate_run_starts, everything is per-row array math in the
+    scan stage: the sorted starts merge into disjoint [lo, hi) intervals
+    (one aggregate pass — interval count is <= n_tokens/min_run + 1, so
+    the quadratic array-rebuild inside the fold is bounded), and the kept
+    text is the concatenation of the gap SLICES between intervals — no
+    per-token membership test, O(n_tokens + intervals) per doc.  Docs
+    with no duplicated run pass through the left join untouched.
+    """
+    starts_df = duplicate_run_starts(
+        df, text_col, id_col, min_run, min_count, keep_first
+    ).withColumnRenamed("id", id_col)
+    base = df.withColumn(
+        "_toks",
+        F.coalesce(words_col(F.col(text_col)), F.array().cast("array<string>")),
+    )
+    joined = base.join(starts_df, id_col, "left")
+
+    toks = F.col("_toks")
+    n = F.size(toks)
+    sts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    hi_of = lambda s: (s + F.lit(min_run)).cast("int")
+    merged = F.aggregate(
+        sts,
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        hi_of(s).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(s.cast("int").alias("lo"), hi_of(s).alias("hi")))
+            )
+        ),
+    )
+    kept = F.aggregate(
+        merged,
+        F.struct(
+            F.lit(0).alias("prev"), F.array().cast("array<string>").alias("kept")
+        ),
+        lambda acc, iv: F.struct(
+            iv["hi"].alias("prev"),
+            F.concat(
+                acc["kept"],
+                F.slice(
+                    toks, acc["prev"] + 1, F.greatest(iv["lo"] - acc["prev"], F.lit(0))
+                ),
+            ).alias("kept"),
+        ),
+        lambda acc: F.concat(
+            acc["kept"],
+            F.slice(toks, acc["prev"] + 1, F.greatest(n - acc["prev"], F.lit(0))),
+        ),
+    )
+    return joined.select(
+        *df.columns,
+        n.alias("n_tokens"),
+        (n - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("kept_text"),
+    )

@@ -900,3 +900,93 @@ def test_winnow_near_duplicates(spark, docs):
         assert found[(i, i + 100000)]["overlap"] == 1.0
         assert (i, i + 200000) in found, f"near copy {i} missed"
         assert found[(i, i + 200000)]["overlap"] >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate token-run) removal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def run_docs(spark):
+    rows = [
+        (0, "a b c d e f g h i j unique tail zero"),
+        (1, "x y a b c d e f g h i j other words here"),
+        (2, "no duplicated material in this one at all"),
+        (3, "r r r r r r r r r r r r"),
+        (4, None),
+        (5, ""),
+        (6, "a b c d e f g h i j unique tail zero"),
+        (7, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _kept(df, **kw):
+    out = dedup.remove_duplicate_runs(df, min_run=10, **kw).orderBy("doc_id")
+    return {r.doc_id: (r.n_tokens, r.n_removed, r.kept_text) for r in out.collect()}
+
+
+def test_remove_duplicate_runs_all_occurrences(spark, run_docs):
+    got = _kept(run_docs)
+    # exact copies (0, 6) are both fully duplicated -> everything cut
+    assert got[0] == (13, 13, "")
+    assert got[6] == (13, 13, "")
+    # doc 1 shares exactly the 10-token run a..j; the rest survives
+    assert got[1] == (15, 10, "x y other words here")
+    # no duplicated run -> untouched (modulo whitespace normalization)
+    assert got[2] == (8, 0, "no duplicated material in this one at all")
+    # intra-document repetition counts (ExactSubstr semantics)
+    assert got[3] == (12, 12, "")
+    # null / empty / shorter-than-min_run docs pass through
+    assert got[4] == (0, 0, "")
+    assert got[5] == (0, 0, "")
+    assert got[7] == (2, 0, "short doc")
+
+
+def test_remove_duplicate_runs_keep_first(spark, run_docs):
+    got = _kept(run_docs, keep_first=True)
+    # the (min id, min pos) occurrence of every gram is exempt: doc 0
+    # keeps its copy, doc 6 (the later twin) loses it
+    assert got[0] == (13, 0, "a b c d e f g h i j unique tail zero")
+    assert got[6] == (13, 13, "")
+    assert got[1] == (15, 10, "x y other words here")
+    # intra-doc: the first of the three identical grams survives
+    assert got[3] == (12, 11, "r")
+
+
+def test_remove_duplicate_runs_partition_invariant(spark, run_docs):
+    a = _kept(run_docs)
+    b = _kept(run_docs.repartition(7))
+    assert a == b
+
+
+def test_remove_duplicate_runs_brute_force_oracle(spark, docs):
+    """Organic fixture text + planted copies vs a literal per-token
+    membership oracle computed in Python."""
+    L = 8
+    sample = docs.where(
+        (F.col("doc_id") < 80) | (F.col("doc_id") >= 200000)
+    )  # organic text + the near-dup copies of docs 0-4 (shared prefixes)
+    rows = {r.doc_id: (r.text or "") for r in sample.collect()}
+    toks = {i: t.split() for i, t in rows.items()}
+    from collections import Counter
+
+    counts = Counter(
+        tuple(ws[s : s + L])
+        for ws in toks.values()
+        for s in range(len(ws) - L + 1)
+    )
+    expect = {}
+    for i, ws in toks.items():
+        covered = set()
+        for s in range(len(ws) - L + 1):
+            if counts[tuple(ws[s : s + L])] >= 2:
+                covered.update(range(s, s + L))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        expect[i] = (len(ws), len(ws) - len(kept), " ".join(kept))
+    out = dedup.remove_duplicate_runs(sample, min_run=L)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_text)
+        for r in out.collect()
+    }
+    assert got == expect
