@@ -335,6 +335,15 @@ def main() -> None:
         "q20_winnow_fps_100k": lambda: dedup.winnow_fingerprint_rows(
             pages_100k, "text", "url"
         ).count(),
+        # ExactSubstr duplicate-run removal over the same 100k-page slice:
+        # rolling-hash gram stream -> groupBy(h) -> starts join -> gap-slice
+        # text rebuild (PLANS §33); the reduction forces kept_text so the
+        # whole removal path is measured, not just the gram counts
+        "q21_exact_substr_100k": lambda: dedup.remove_duplicate_runs(
+            pages_100k, text_col="text", id_col="url", min_run=20
+        )
+        .select(F.sum("n_removed"), F.max(F.xxhash64("kept_text")))
+        .collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -405,6 +414,9 @@ def main() -> None:
         "pack_docs_per_sec": round(2_000_000 / results["q18_pack_pages_2m"]),
         "winnow_docs_per_sec": round(
             n_pages_100k / results["q20_winnow_fps_100k"]
+        ),
+        "exact_substr_docs_per_sec": round(
+            n_pages_100k / results["q21_exact_substr_100k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]

@@ -953,24 +953,49 @@ def duplicate_run_starts(
     ``keep_first`` the single occurrence with the smallest (id, pos) is
     exempted, so one copy of each duplicated passage survives.
 
-    Plan: gram stream is (id, pos, xxhash64(gram)) — never gram text.
-    Corpus-wide counts come from a groupBy(h) with map-side combine
-    (reduce side sees one row per DISTINCT gram — boilerplate grams do
-    not hotspot the agg), and the keep-first exemption is min(struct(id,
-    pos)) in the SAME agg, then one h-keyed join back (AQE splits the
-    skewed h partitions that a window over h could not).  Output shuffles
-    (id, pos) pairs only.
+    Plan: gram identity is a 64-bit ROLLING hash over per-token
+    xxhash64 values (acc = xxhash64(acc, next_token_hash), zip_with
+    chained like decontam.ngram_col) — gram STRINGS are never built,
+    which matters at min_run=50 where the concat form would copy ~50x
+    the text per position (measured 1.6x end-to-end at min_run=20, see
+    PLANS §33); the token-hash array is materialized as a real column
+    first so the chain reuses it (§32 lesson).  Corpus-wide counts come
+    from a groupBy(h) with map-side combine (reduce side sees one row
+    per DISTINCT gram — boilerplate grams do not hotspot the agg), and
+    the keep-first exemption is min(struct(id, pos)) in the SAME agg,
+    then one h-keyed join back (AQE splits the skewed h partitions that
+    a window over h could not).  Output shuffles (id, pos) pairs only.
     """
     if min_run < 1:
         raise ValueError("min_run must be >= 1")
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
-    from .decontam import ngram_col
 
-    grams = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(ngram_col(F.col(text_col), min_run)).alias("pos", "gram"),
-    ).select("id", "pos", F.xxhash64("gram").alias("h"))
+        F.transform(
+            F.coalesce(
+                words_col(F.col(text_col)), F.array().cast("array<string>")
+            ),
+            lambda w: F.xxhash64(w),
+        ).alias("th"),
+    )
+    th = F.col("th")
+    n = F.size(th)
+    null_long = F.lit(None).cast("long")
+    g = th
+    for k in range(1, min_run):
+        shifted = F.slice(th, k + 1, F.greatest(n - k, F.lit(1)))
+        g = F.zip_with(
+            g,
+            shifted,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), null_long
+            ).otherwise(F.xxhash64(a, b)),
+        )
+    grams = base.select(
+        "id", F.posexplode(g).alias("pos", "h")
+    ).where(F.col("h").isNotNull())
     per_gram = (
         grams.groupBy("h")
         .agg(
