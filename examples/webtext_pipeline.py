@@ -225,6 +225,15 @@ def main() -> int:
     )
     assert pq_self_top1 == 3, "PQ self-recall violated"
 
+    # 4g. ExactSubstr duplicate-run removal (round 5): cut duplicated
+    # >=12-token runs from the near slice, keeping the first occurrence
+    scrubbed = dedup.remove_duplicate_runs(
+        near_slice, text_col="text", id_col="url", min_run=12,
+        keep_first=True,
+    )
+    n_runs_cut = scrubbed.agg(F.sum("n_removed")).collect()[0][0] or 0
+    assert scrubbed.count() == near_slice.count()  # docs survive, runs cut
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -240,6 +249,7 @@ def main() -> int:
         "after_exact_dedup": deduped.count(),
         "langs": len(urls_by_lang),
         "near_dup_removed_in_slice": n_near_removed,
+        "exact_substr_tokens_cut": int(n_runs_cut),
         "global_url_estimate": round(
             next(r["distinct_estimate"] for r in rolled if r["day"] is None), 1
         ),
