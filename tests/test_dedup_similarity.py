@@ -990,3 +990,18 @@ def test_remove_duplicate_runs_brute_force_oracle(spark, docs):
         for r in out.collect()
     }
     assert got == expect
+
+
+def test_remove_duplicate_runs_plan_shape(spark, run_docs):
+    """Scale guards for the §33 plan: gram counting must be a
+    map-side-combinable aggregate, NOT a window over the gram hash (a
+    boilerplate gram with 10^9 occurrences would pin one task — windows
+    are AQE-skew-unsplittable), and the gram-stream aggregate must not
+    carry text columns (only id/pos/hash shuffle)."""
+    out = dedup.remove_duplicate_runs(run_docs, min_run=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # partial-aggregate pass over the gram stream exists (map-side combine)
+    assert "partial_count" in plan or "partial" in plan.lower()
+    # the gram-side aggregate keys on the hash, never the token text
+    assert "h#" in plan
