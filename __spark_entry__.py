@@ -1429,6 +1429,30 @@ def _q_exact_substr_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_nb_quality_scores_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Naive-Bayes log-odds quality classifier (round 5, the
+    DCLM/FineWeb-style trained-filter stage): weights trained in-plan on
+    docs < 200 labeled lang=='en', held-out docs 200-299 scored with
+    the length-invariant mean-log-odds sigmoid.  The oracle replicates
+    training AND scoring end-to-end in SQL (class token counts, Laplace
+    log-odds, unseen-token zero backoff, sigmoid)."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") < 200).select(
+        (F.col("lang") == "en").cast("int").alias("label"), "text"
+    )
+    held = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    out = curation.nb_quality_scores(
+        held, curation.nb_quality_weights(train)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id")
+
+
 def _q_canonical_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (round 4): three syntactic variants of the
     same logical page (mixed case, default port, shuffled query params,
@@ -1971,6 +1995,7 @@ _HEAD = [
     "near_dedup_count",
     "index_dedup_new_batch",
     "exact_substr_removal",
+    "nb_quality_scores_docs",
     # similarity / ANN
     "ann_ivf_indexed_top3",
     "embedding_near_dup_pairs",
@@ -2018,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_near_dups": _q_winnow_near_dups,
         "winnow_guarantee_pairs": _q_winnow_guarantee_pairs,
         "exact_substr_removal": _q_exact_substr_removal,
+        "nb_quality_scores_docs": _q_nb_quality_scores_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2367,6 +2393,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM aug a, aug b "
             "WHERE a.doc_id < b.doc_id AND b.doc_id >= 1000 "
             "AND a.norm = b.norm ORDER BY id_a, id_b"
+        ),
+        "nb_quality_scores_docs": (
+            "WITH tr AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 "
+            "  END AS y, list_filter(regexp_split_to_array(text, '\\s+'), "
+            "  x -> x <> '') AS ws FROM documents WHERE doc_id < 200), "
+            "tok AS (SELECT y, ws[i] AS token FROM tr, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "pt AS (SELECT token, sum(y) AS c_pos, sum(1 - y) AS c_neg "
+            "  FROM tok GROUP BY token), "
+            "tt AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, "
+            "  CAST(count(*) AS DOUBLE) AS v FROM pt), "
+            "w AS (SELECT token, "
+            "  ln((c_pos + 1.0) / (n_pos + v)) - "
+            "  ln((c_neg + 1.0) / (n_neg + v)) AS weight "
+            "  FROM pt CROSS JOIN tt), "
+            "sd AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "  FROM documents WHERE doc_id >= 200 AND doc_id < 300), "
+            "st AS (SELECT doc_id, ws[i] AS token FROM sd, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "ag AS (SELECT s.doc_id, sum(coalesce(w.weight, 0)) AS sm, "
+            "  count(*) AS n FROM st s LEFT JOIN w USING (token) "
+            "  GROUP BY s.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) "
+            "  AS n_tokens, "
+            "round(1.0 / (1.0 + exp(-(CASE WHEN coalesce(a.n, 0) > 0 "
+            "  THEN a.sm / a.n ELSE 0.0 END))), 4) AS score "
+            "FROM sd d LEFT JOIN ag a USING (doc_id) ORDER BY doc_id"
         ),
         "exact_substr_removal": (
             "WITH src AS (SELECT doc_id, text FROM documents "

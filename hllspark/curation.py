@@ -1076,3 +1076,114 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         .withColumn("registered_domain", registered_domain(h))
         .withColumn("path_depth", url_path_depth(u))
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes log-odds quality classifier (fastText-style filter stage)
+# ---------------------------------------------------------------------------
+
+def nb_quality_weights(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    max_features: int | None = None,
+) -> DataFrame:
+    """(token, weight) Naive-Bayes log-odds table from a labeled sample —
+    the classifier behind the DCLM/FineWeb-style quality-filter stage,
+    trainable entirely in-plan (two aggregates, no gradient loop):
+
+      weight(w) = ln((C_pos(w) + a) / (N_pos + a*V))
+                - ln((C_neg(w) + a) / (N_neg + a*V))
+
+    with token-frequency counts C, class token totals N, vocabulary size
+    V and Laplace ``smoothing`` a.  ``label_col`` must be 0/1 (castable).
+    ``max_features`` keeps only the top-K tokens by |weight| (ties by
+    token) — the broadcast-bounded open-vocab path; dropped tokens score
+    as 0 exactly like unseen ones, so capping only shrinks, never skews.
+
+    Plan: explode tokens with the label -> ONE map-side-combined
+    groupBy(token) carrying both class counts -> class totals + V from a
+    single tiny agg broadcast back via crossJoin (1 row).  The cap is a
+    TakeOrdered (no full sort shuffle).
+    """
+    toks = labeled.select(
+        F.col(label_col).cast("double").alias("y"),
+        F.explode(
+            F.coalesce(
+                words_col(F.col(text_col)), F.array().cast("array<string>")
+            )
+        ).alias("token"),
+    )
+    per_tok = toks.groupBy("token").agg(
+        F.sum("y").alias("c_pos"),
+        F.sum(1 - F.col("y")).alias("c_neg"),
+    )
+    totals = per_tok.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    a = F.lit(float(smoothing))
+    w = (
+        F.log((F.col("c_pos") + a) / (F.col("n_pos") + a * F.col("v")))
+        - F.log((F.col("c_neg") + a) / (F.col("n_neg") + a * F.col("v")))
+    ).alias("weight")
+    out = per_tok.crossJoin(F.broadcast(totals)).select("token", w)
+    if max_features is not None:
+        out = out.orderBy(
+            F.abs(F.col("weight")).desc(), F.col("token")
+        ).limit(int(max_features))
+    return out
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior: float = 0.0,
+) -> DataFrame:
+    """Per-document quality score under a (token, weight) log-odds table
+    (``nb_quality_weights`` or any externally trained linear model):
+
+      score = sigmoid(prior + mean over tokens of weight(token))
+
+    Mean (not sum) keeps the score length-invariant, like fastText's
+    averaged bag-of-words; unknown tokens contribute 0; zero-token docs
+    score sigmoid(prior).  Returns (id_col, n_tokens, score).
+
+    Plan: document token stream left-joins the broadcast weights table
+    (vocab-bounded — cap with max_features at open-vocab scale) and
+    reduces per doc; one (id)-keyed shuffle, text never shuffles.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.coalesce(
+                words_col(F.col(text_col)), F.array().cast("array<string>")
+            )
+        ).alias("token"),
+    )
+    summed = (
+        toks.join(F.broadcast(weights), "token", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    p = F.lit(float(prior))
+    logit = p + F.when(
+        F.coalesce(F.col("n"), F.lit(0)) > 0,
+        F.col("s") / F.col("n"),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(summed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_tokens"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        )
+    )

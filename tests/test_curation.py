@@ -454,3 +454,88 @@ def test_canonical_url(spark):
         ).alias("c")
     ).collect()
     assert [r["c"] for r in twice] == [got[i] for i in range(len(cases))]
+
+
+def test_nb_quality_classifier_learns_planted_signal(spark):
+    """Positives carry 'shiny', negatives carry 'sludge'; the NB
+    log-odds weights must rank them at the two extremes and the scores
+    must separate held-out docs containing each marker."""
+    rows = []
+    for i in range(40):
+        filler = f"common words everywhere {i % 3}"
+        if i % 2 == 0:
+            rows.append((1, f"{filler} shiny prose shiny"))
+        else:
+            rows.append((0, f"{filler} sludge spam sludge"))
+    train = spark.createDataFrame(rows, "label int, text string")
+    w = {r["token"]: r["weight"] for r in
+         curation.nb_quality_weights(train).collect()}
+    assert w["shiny"] > 0 > w["sludge"]
+    assert w["shiny"] == max(w.values()) and w["sludge"] == min(w.values())
+    # filler tokens appear equally in both classes -> ~0 weight
+    assert abs(w["common"]) < 1e-9
+    held = spark.createDataFrame(
+        [(0, "common shiny shiny words"), (1, "common sludge spam words"),
+         (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r for r in curation.nb_quality_scores(
+        held, curation.nb_quality_weights(train)).collect()}
+    assert s[0]["score"] > 0.5 > s[1]["score"]
+    assert s[2]["score"] == 0.5 and s[2]["n_tokens"] == 0  # sigmoid(0)
+    assert s[3]["score"] == 0.5 and s[3]["n_tokens"] == 0
+
+
+def test_nb_quality_weights_brute_force_oracle(spark):
+    """Weights and scores match a literal python replica of the
+    formulas on fixture text with a deterministic label."""
+    import math
+    from collections import Counter
+
+    from tests.conftest import SF_TEST
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").where(
+        F.col("doc_id") < 60
+    )
+    train = docs.select(
+        (F.col("lang") == "en").cast("int").alias("label"), "text"
+    )
+    got_w = {r["token"]: r["weight"] for r in
+             curation.nb_quality_weights(train, smoothing=0.5).collect()}
+    rows = docs.select("doc_id", "lang", "text").collect()
+    cp, cn = Counter(), Counter()
+    for r in rows:
+        c = cp if r["lang"] == "en" else cn
+        c.update((r["text"] or "").split())
+    v = len(set(cp) | set(cn))
+    npos, nneg = sum(cp.values()), sum(cn.values())
+    a = 0.5
+    for t in set(cp) | set(cn):
+        want = math.log((cp[t] + a) / (npos + a * v)) - math.log(
+            (cn[t] + a) / (nneg + a * v)
+        )
+        assert abs(got_w[t] - want) < 1e-12, t
+    got_s = {r["doc_id"]: (r["n_tokens"], r["score"]) for r in
+             curation.nb_quality_scores(
+                 docs, curation.nb_quality_weights(train, smoothing=0.5)
+             ).collect()}
+    for r in rows:
+        toks = (r["text"] or "").split()
+        mean = (sum(got_w.get(t, 0.0) for t in toks) / len(toks)
+                if toks else 0.0)
+        want = 1.0 / (1.0 + math.exp(-mean))
+        assert got_s[r["doc_id"]][0] == len(toks)
+        assert abs(got_s[r["doc_id"]][1] - want) < 1e-9
+
+
+def test_nb_quality_max_features_cap(spark):
+    train = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (0, "aa bb xx yy")], "label int, text string"
+    )
+    full = curation.nb_quality_weights(train)
+    capped = curation.nb_quality_weights(train, max_features=2)
+    assert capped.count() == 2
+    # the cap keeps the largest |weight| rows of the full table
+    fw = sorted(full.collect(), key=lambda r: (-abs(r["weight"]), r["token"]))
+    kept = {r["token"] for r in capped.collect()}
+    assert kept == {fw[0]["token"], fw[1]["token"]}
