@@ -234,6 +234,18 @@ def main() -> int:
     n_runs_cut = scrubbed.agg(F.sum("n_removed")).collect()[0][0] or 0
     assert scrubbed.count() == near_slice.count()  # docs survive, runs cut
 
+    # 4h. NB log-odds quality classifier (round 5): train on the kept
+    # set labeled by lang, score the balanced shard (broadcast weights)
+    nb_w = curation.nb_quality_weights(
+        kept.select((F.col("lang") == "en").cast("int").alias("label"), "text"),
+        max_features=5000,
+    )
+    nb_scored = curation.nb_quality_scores(
+        balanced.withColumn("did", F.xxhash64("url")), nb_w, id_col="did"
+    )
+    nb_mean = nb_scored.agg(F.avg("score")).collect()[0][0]
+    assert nb_mean is not None and 0.0 < nb_mean < 1.0
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -250,6 +262,7 @@ def main() -> int:
         "langs": len(urls_by_lang),
         "near_dup_removed_in_slice": n_near_removed,
         "exact_substr_tokens_cut": int(n_runs_cut),
+        "nb_quality_mean_score": round(float(nb_mean), 4),
         "global_url_estimate": round(
             next(r["distinct_estimate"] for r in rolled if r["day"] is None), 1
         ),
