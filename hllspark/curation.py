@@ -1097,7 +1097,9 @@ def nb_quality_weights(
                 - ln((C_neg(w) + a) / (N_neg + a*V))
 
     with token-frequency counts C, class token totals N, vocabulary size
-    V and Laplace ``smoothing`` a.  ``label_col`` must be 0/1 (castable).
+    V and Laplace ``smoothing`` a.  ``label_col`` must be 0/1 (castable);
+    null-label rows are excluded from training entirely (they would
+    otherwise inflate V while counting toward neither class).
     ``max_features`` keeps only the top-K tokens by |weight| (ties by
     token) — the broadcast-bounded open-vocab path; dropped tokens score
     as 0 exactly like unseen ones, so capping only shrinks, never skews.
@@ -1107,7 +1109,7 @@ def nb_quality_weights(
     single tiny agg broadcast back via crossJoin (1 row).  The cap is a
     TakeOrdered (no full sort shuffle).
     """
-    toks = labeled.select(
+    toks = labeled.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).cast("double").alias("y"),
         F.explode(
             F.coalesce(

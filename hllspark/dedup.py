@@ -973,11 +973,8 @@ def duplicate_run_starts(
 
     base = df.select(
         F.col(id_col).alias("id"),
-        F.transform(
-            F.coalesce(
-                words_col(F.col(text_col)), F.array().cast("array<string>")
-            ),
-            lambda w: F.xxhash64(w),
+        F.coalesce(
+            token_hashes(F.col(text_col)), F.array().cast("array<bigint>")
         ).alias("th"),
     )
     th = F.col("th")
@@ -1035,19 +1032,31 @@ def remove_duplicate_runs(
     text is the concatenation of the gap SLICES between intervals — no
     per-token membership test, O(n_tokens + intervals) per doc.  Docs
     with no duplicated run pass through the left join untouched.
+
+    Raises when ``df`` already carries one of the added output columns
+    (``n_tokens``/``n_removed``/``kept_text``) — silent duplicates would
+    make every downstream reference ambiguous.
     """
-    starts_df = duplicate_run_starts(
-        df, text_col, id_col, min_run, min_count, keep_first
-    ).withColumnRenamed("id", id_col)
+    clash = {"n_tokens", "n_removed", "kept_text"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"remove_duplicate_runs adds columns {sorted(clash)} that the "
+            "input already has; rename or drop them first"
+        )
+    starts_df = (
+        duplicate_run_starts(df, text_col, id_col, min_run, min_count, keep_first)
+        .withColumnRenamed("id", id_col)
+        .withColumnRenamed("starts", "__rdr_starts")
+    )
     base = df.withColumn(
-        "_toks",
+        "__rdr_toks",
         F.coalesce(words_col(F.col(text_col)), F.array().cast("array<string>")),
     )
     joined = base.join(starts_df, id_col, "left")
 
-    toks = F.col("_toks")
+    toks = F.col("__rdr_toks")
     n = F.size(toks)
-    sts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    sts = F.coalesce(F.col("__rdr_starts"), F.array().cast("array<int>"))
     empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
     hi_of = lambda s: (s + F.lit(min_run)).cast("int")
     merged = F.aggregate(

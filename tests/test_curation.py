@@ -539,3 +539,18 @@ def test_nb_quality_max_features_cap(spark):
     fw = sorted(full.collect(), key=lambda r: (-abs(r["weight"]), r["token"]))
     kept = {r["token"] for r in capped.collect()}
     assert kept == {fw[0]["token"], fw[1]["token"]}
+
+
+def test_nb_quality_weights_ignores_null_labels(spark):
+    """Null-label rows contribute to neither class nor the vocabulary."""
+    clean = spark.createDataFrame(
+        [(1, "aa bb"), (0, "aa cc")], "label int, text string"
+    )
+    noisy = spark.createDataFrame(
+        [(1, "aa bb"), (0, "aa cc"), (None, "zz zz phantom")],
+        "label int, text string",
+    )
+    cw = sorted(curation.nb_quality_weights(clean).collect())
+    nw = sorted(curation.nb_quality_weights(noisy).collect())
+    assert cw == nw
+    assert all(r["weight"] is not None for r in nw)

@@ -1002,6 +1002,13 @@ def test_remove_duplicate_runs_plan_shape(spark, run_docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     # partial-aggregate pass over the gram stream exists (map-side combine)
-    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "partial_count(1)" in plan
     # the gram-side aggregate keys on the hash, never the token text
     assert "h#" in plan
+
+
+def test_remove_duplicate_runs_rejects_output_column_clash(spark, run_docs):
+    with pytest.raises(ValueError, match="n_tokens"):
+        dedup.remove_duplicate_runs(
+            run_docs.withColumn("n_tokens", F.lit(1)), min_run=10
+        )

@@ -23,8 +23,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
-FIXTURE = os.path.join(REPO, ".bench_data", "pages_exsub_200k")
 N_ROWS = int(os.environ.get("HLLSPARK_EXSUB_ROWS", str(200_000)))
+FIXTURE = os.path.join(REPO, ".bench_data", f"pages_exsub_{N_ROWS}")
 REPS = int(os.environ.get("HLLSPARK_EXSUB_REPS", "3"))
 # same ceiling job as tools/bench_scaling.py (8G rows, 512 partitions):
 # a shorter range is overhead-dominated and under-reads the achievable
@@ -89,7 +89,9 @@ def _worker(cpus: int) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        if len(sys.argv) < 3:
+            raise SystemExit("usage: scaling_exact_substr.py --worker <cpus>")
         _worker(int(sys.argv[2]))
         return
 
