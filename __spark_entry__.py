@@ -631,6 +631,63 @@ def _q_embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023: cluster the embedding space, drop
+    semantic duplicates within each cluster) over the twin-augmented
+    embeddings table, with engine-portable seed centroids (the 4 rows
+    with smallest md5(id || '|7')) and the declarative 'expr' assignment
+    path.  The DuckDB oracle replicates seed selection, argmax-cosine
+    assignment (tie: lowest cell), and the keep-min-id within-cluster
+    drop rule end-to-end — exactly 5 planted twins drop (organic max
+    cross cosine ~0.51 < eps)."""
+    import numpy as np
+
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    twins = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    seeds = similarity._seed_rows(aug, 4, "vec_id", "embedding", 7)
+    C = np.asarray([r.v for r in seeds], dtype=np.float64)
+    return (
+        similarity.semantic_dedup(aug, dim, eps=0.95, centroids=C, impl="expr")
+        .select("vec_id", "cell", F.col("kept").cast("int").alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+def _q_kmeans_centroid_update(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE distributed spherical-Lloyd iteration (k=4, engine-portable
+    md5-seeded init) over the embeddings table; every centroid component,
+    rounded to 6dp.  Gates the distributed update math — Arrow-matmul
+    assignment, in-plan L2 normalization, posexplode + ONE map-side-
+    combined groupBy(cell, pos) — against a pure-SQL replica (argmax
+    cosine assignment, per-(cell,pos) mean of unit vectors, per-cell
+    renormalization).  The oracle assumes all 4 cells non-empty (holds on
+    the fixture; the empty-cell keep-previous rule is pytest-gated)."""
+    from hllspark import similarity
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    C = similarity.kmeans_fit_distributed(emb, dim, k=4, iters=1, seed=7)
+    rows = [
+        (c, p, float(C[c, p]))
+        for c in range(C.shape[0])
+        for p in range(dim)
+    ]
+    return (
+        spark.createDataFrame(rows, "cell int, pos int, comp double")
+        .select("cell", "pos", F.round("comp", 6).alias("comp"))
+        .orderBy("cell", "pos")
+    )
+
+
 def _q_misra_gries_exact_when_k_covers(spark: SparkSession, sf: str) -> DataFrame:
     """Misra-Gries heavy-hitters summary built distributed (partial per
     partition + mergeable-summary merge); with k >= #distinct items the
@@ -1999,6 +2056,7 @@ _HEAD = [
     # similarity / ANN
     "ann_ivf_indexed_top3",
     "embedding_near_dup_pairs",
+    "semantic_dedup_survivors",
     # curation
     "repetition_stats_by_lang",
     "quality_filter_survivors",
@@ -2081,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
+        "semantic_dedup_survivors": _q_semantic_dedup_survivors,
+        "kmeans_centroid_update": _q_kmeans_centroid_update,
         "approx_quantiles_by_type": _q_approx_quantiles_by_type,
         "multi_distinct_within_bound": _q_multi_distinct_within_bound,
         "kmv_overlap_within_bound": _q_kmv_overlap_within_bound,
@@ -2835,6 +2895,76 @@ def oracle_sql() -> dict[str, str]:
             "FROM aug a, aug b WHERE a.vec_id < b.vec_id "
             "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.95 ORDER BY id_a, id_b"
+        ),
+        # SemDeDup end-to-end: seed selection (4 smallest md5(id||'|7')),
+        # argmax-cosine assignment (tie: lowest cell), keep-min-id
+        # within-cluster drop rule — full SQL replica of semantic_dedup
+        "semantic_dedup_survivors": (
+            "WITH aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 10000,"
+            "    list_transform(embedding,"
+            "      x -> CAST(CAST(x AS DOUBLE) * 1.0001 AS FLOAT))"
+            "  FROM embeddings WHERE vec_id < 5), "
+            "seeds AS ("
+            "  SELECT vec_id, embedding, row_number() OVER ("
+            "    ORDER BY md5(CAST(vec_id AS VARCHAR) || '|' || '7'),"
+            "    vec_id) - 1 AS cell"
+            "  FROM aug WHERE embedding IS NOT NULL), "
+            "cents AS (SELECT cell, embedding AS cvec FROM seeds "
+            "  WHERE cell < 4), "
+            "assigned AS ("
+            "  SELECT vec_id, cell FROM ("
+            "    SELECT a.vec_id, c.cell, row_number() OVER ("
+            "      PARTITION BY a.vec_id ORDER BY"
+            "      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "        CAST(c.cvec AS DOUBLE[])) DESC, c.cell ASC) AS rn"
+            "    FROM aug a CROSS JOIN cents c) WHERE rn = 1), "
+            "drops AS ("
+            "  SELECT DISTINCT r.vec_id"
+            "  FROM assigned l JOIN assigned r"
+            "    ON l.cell = r.cell AND l.vec_id < r.vec_id"
+            "  JOIN aug la ON la.vec_id = l.vec_id"
+            "  JOIN aug ra ON ra.vec_id = r.vec_id"
+            "  WHERE list_cosine_similarity(CAST(la.embedding AS DOUBLE[]),"
+            "    CAST(ra.embedding AS DOUBLE[])) >= 0.95) "
+            "SELECT a.vec_id, CAST(a.cell AS INT) AS cell, "
+            "CAST(d.vec_id IS NULL AS INT) AS kept "
+            "FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id "
+            "ORDER BY a.vec_id"
+        ),
+        # one distributed spherical-Lloyd update: assignment to the md5
+        # seed centroids, per-(cell,pos) mean of L2-normalized members,
+        # per-cell renormalization — replica of kmeans_fit_distributed
+        "kmeans_centroid_update": (
+            "WITH seeds AS ("
+            "  SELECT vec_id, embedding, row_number() OVER ("
+            "    ORDER BY md5(CAST(vec_id AS VARCHAR) || '|' || '7'),"
+            "    vec_id) - 1 AS cell"
+            "  FROM embeddings WHERE embedding IS NOT NULL), "
+            "cents AS (SELECT cell, embedding AS cvec FROM seeds "
+            "  WHERE cell < 4), "
+            "assigned AS ("
+            "  SELECT vec_id, cell FROM ("
+            "    SELECT e.vec_id, c.cell, row_number() OVER ("
+            "      PARTITION BY e.vec_id ORDER BY"
+            "      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+            "        CAST(c.cvec AS DOUBLE[])) DESC, c.cell ASC) AS rn"
+            "    FROM embeddings e CROSS JOIN cents c"
+            "    WHERE e.embedding IS NOT NULL) WHERE rn = 1), "
+            "unit AS ("
+            "  SELECT a.cell,"
+            "    generate_subscripts(e.embedding, 1) - 1 AS pos,"
+            "    CAST(unnest(e.embedding) AS DOUBLE) /"
+            "    sqrt(list_aggregate(list_transform("
+            "      CAST(e.embedding AS DOUBLE[]), x -> x * x), 'sum')) AS u"
+            "  FROM embeddings e JOIN assigned a USING (vec_id)), "
+            "means AS (SELECT cell, pos, avg(u) AS m FROM unit "
+            "  GROUP BY cell, pos) "
+            "SELECT CAST(cell AS INT) AS cell, CAST(pos AS INT) AS pos, "
+            "round(m / sqrt(sum(m * m) OVER (PARTITION BY cell)), 6) AS comp "
+            "FROM means ORDER BY cell, pos"
         ),
         "media_header_stats": (
             "SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'png' "

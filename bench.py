@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-from hllspark import agg, curation, decontam, dedup, joins, sessions
+from hllspark import agg, curation, decontam, dedup, joins, sessions, similarity
 from hllspark.text import token_count
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -176,6 +176,32 @@ def main() -> None:
 
     # eval slice for q14: 5% of the corpus by deterministic hash
     eval_docs = documents.where(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+
+    # synthetic embedding corpus for q22: 50k deterministic 16-dim
+    # directions, each present twice (the second copy scaled 1.001 ->
+    # cosine exactly 1), so SemDeDup must drop one copy per direction
+    emb_100k = (
+        spark.range(100_000, numPartitions=2 * CPUS)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    F.pmod(
+                        F.xxhash64(F.pmod(F.col("id"), F.lit(50_000)), i),
+                        F.lit(2001),
+                    ).cast("double")
+                    / F.lit(1000.0)
+                    - F.lit(1.0)
+                )
+                * F.when(F.col("id") < 50_000, F.lit(1.0)).otherwise(
+                    F.lit(1.001)
+                ),
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    emb_100k.count()
 
     # derived per-type value intervals for the range-join query
     value_intervals = (
@@ -344,6 +370,16 @@ def main() -> None:
         )
         .select(F.sum("n_removed"), F.max(F.xxhash64("kept_text")))
         .collect(),
+        # SemDeDup over 100k synthetic 16-dim embeddings (50k directions x 2
+        # copies): distributed spherical-Lloyd fit (1 iter, k=512, Arrow
+        # partial-sum kernel) + matmul assignment + per-cell blockwise
+        # pairwise dedup in ONE applyInPandas exchange (PLANS §35); the
+        # reduction forces the kept flags so the whole path is measured
+        "q22_semantic_dedup_100k": lambda: similarity.semantic_dedup(
+            emb_100k, 16, eps=0.95, n_clusters=512, iters=1
+        )
+        .agg(F.sum(F.col("kept").cast("int")))
+        .collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -417,6 +453,9 @@ def main() -> None:
         ),
         "exact_substr_docs_per_sec": round(
             n_pages_100k / results["q21_exact_substr_100k"]
+        ),
+        "semantic_dedup_vecs_per_sec": round(
+            100_000 / results["q22_semantic_dedup_100k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]

@@ -226,10 +226,13 @@ def main() -> int:
     assert pq_self_top1 == 3, "PQ self-recall violated"
 
     # 4g. ExactSubstr duplicate-run removal (round 5): cut duplicated
-    # >=12-token runs from the near slice, keeping the first occurrence
+    # >=12-token runs from the near slice, keeping the first occurrence.
+    # quality_features left an n_tokens column on this frame; the operator
+    # re-derives it for the scrubbed text, so drop the stale one explicitly
+    # (remove_duplicate_runs refuses to shadow it silently).
     scrubbed = dedup.remove_duplicate_runs(
-        near_slice, text_col="text", id_col="url", min_run=12,
-        keep_first=True,
+        near_slice.drop("n_tokens"), text_col="text", id_col="url",
+        min_run=12, keep_first=True,
     )
     n_runs_cut = scrubbed.agg(F.sum("n_removed")).collect()[0][0] or 0
     assert scrubbed.count() == near_slice.count()  # docs survive, runs cut

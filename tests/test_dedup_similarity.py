@@ -1012,3 +1012,182 @@ def test_remove_duplicate_runs_rejects_output_column_clash(spark, run_docs):
         dedup.remove_duplicate_runs(
             run_docs.withColumn("n_tokens", F.lit(1)), min_run=10
         )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup semantic dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_lloyd(X, C0, iters):
+    """Literal spherical-Lloyd replica of kmeans_fit_distributed."""
+    U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = C0 / np.maximum(np.linalg.norm(C0, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = np.argmax(U @ C.T, axis=1)
+        nxt = C.copy()
+        for c in range(len(C)):
+            members = U[assign == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0)
+        nxt /= np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+        for c in range(len(C)):
+            if not (assign == c).any():
+                nxt[c] = C[c]
+        C = nxt
+    return C
+
+
+def test_kmeans_distributed_matches_numpy_lloyd(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    seeds = similarity._seed_rows(emb, 4, "vec_id", "embedding", seed=7)
+    C0 = np.asarray([r.v for r in seeds], dtype=np.float64)
+    got = similarity.kmeans_fit_distributed(emb, dim, k=4, iters=3, seed=7)
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    want = _numpy_lloyd(X, C0, iters=3)
+    assert np.abs(got - want).max() < 1e-9
+
+
+def test_kmeans_distributed_partition_invariant(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    a = similarity.kmeans_fit_distributed(emb, dim, k=4, iters=2, seed=7)
+    b = similarity.kmeans_fit_distributed(
+        emb.repartition(13), dim, k=4, iters=2, seed=7
+    )
+    # partial-sum merge order may differ: equal to float-merge tolerance
+    assert np.abs(a - b).max() < 1e-12
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    # 4 rows, only 3 distinct directions: the two identical vectors both
+    # assign to the LOWER of their two identical seed cells, leaving the
+    # other cell empty -> it must keep its (normalized) seed centroid
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    C = similarity.kmeans_fit_distributed(df, 3, k=4, iters=2, seed=7)
+    assert not np.isnan(C).any()
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    seeds = similarity._seed_rows(df, 4, "vec_id", "embedding", seed=7)
+    C0 = np.asarray([r.v for r in seeds], dtype=np.float64)
+    C0 /= np.linalg.norm(C0, axis=1, keepdims=True)
+    dup_cells = [
+        c for c, r in enumerate(seeds)
+        if [round(x) for x in r.v] == [1, 0, 0]
+    ]
+    assert len(dup_cells) == 2
+    empty = max(dup_cells)  # argmax tie-break -> lower cell wins members
+    assert np.allclose(C[empty], C0[empty])
+
+
+def test_assign_cells_arrow_equals_expr(spark, emb):
+    seeds = similarity._seed_rows(emb, 4, "vec_id", "embedding", seed=7)
+    C = np.asarray([r.v for r in seeds], dtype=np.float64)  # raw, unnormalized
+    a = {
+        r.vec_id: r.cell
+        for r in similarity.assign_cells(emb, C, impl="arrow").collect()
+    }
+    b = {
+        r.vec_id: r.cell
+        for r in similarity.assign_cells(emb, C, impl="expr").collect()
+    }
+    assert a == b
+
+
+def test_semantic_dedup_drops_planted_twins(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    twins = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * 1.0001).cast("float"),
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    out = similarity.semantic_dedup(
+        aug, dim, eps=0.95, n_clusters=4, iters=2, seed=7
+    )
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == aug.count()
+    dropped = {i for i, r in rows.items() if not r.kept}
+    # a twin and its original share a cluster (cosine 1.0 dominates any
+    # centroid geometry), so exactly the 5 higher-id twins are dropped:
+    # the organic corpus has no pairs above 0.95 (max cross cosine ~0.51)
+    assert dropped == {10000, 10001, 10002, 10003, 10004}
+    for i in range(5):
+        assert rows[i].cell == rows[i + 10000].cell
+
+
+def test_semantic_dedup_keep_min_id_within_cluster(spark):
+    # identical triple + one far-away doc: keep-min-id drops 2 and 3
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [1.0, 0.0]),
+        (9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    C = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    out = similarity.semantic_dedup(df, 2, eps=0.95, centroids=C)
+    kept = {r.vec_id for r in out.collect() if r.kept}
+    assert kept == {1, 9}
+
+
+def test_semantic_dedup_oversize_cluster_keeps_all(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(9, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    C = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    out = similarity.semantic_dedup(
+        df, 2, eps=0.95, centroids=C, max_cluster_size=3
+    )
+    # the 5-member cluster exceeds the cap: its pairs are skipped, all kept
+    assert all(r.kept for r in out.collect())
+
+
+def test_semantic_dedup_partition_invariant(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    seeds = similarity._seed_rows(emb, 4, "vec_id", "embedding", seed=7)
+    C = np.asarray([r.v for r in seeds], dtype=np.float64)
+    a = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in similarity.semantic_dedup(emb, dim, centroids=C).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in similarity.semantic_dedup(
+            emb.repartition(11), dim, centroids=C
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_arrow_equals_expr(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    twins = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x.cast("double") * 1.0001).cast("float"),
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    seeds = similarity._seed_rows(aug, 4, "vec_id", "embedding", seed=7)
+    C = np.asarray([r.v for r in seeds], dtype=np.float64)
+    a = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in similarity.semantic_dedup(
+            aug, dim, centroids=C, impl="arrow"
+        ).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cell, r.kept)
+        for r in similarity.semantic_dedup(
+            aug, dim, centroids=C, impl="expr"
+        ).collect()
+    )
+    assert a == b
