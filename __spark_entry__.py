@@ -1510,6 +1510,50 @@ def _q_nb_quality_scores_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_dsir_log_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (round 5, Xie et al. 2023
+    arXiv:2302.03169): hashed unigram+bigram bucket histograms (B=64,
+    md5-portable feature hash) of target = en docs < 100 vs raw = docs
+    100-399, Laplace-smoothed log p_target/p_raw per bucket, per-raw-doc
+    log importance weight = sum of bucket weights over the doc's gram
+    occurrences.  The oracle replicates the full model in SQL: the
+    engine-wide tokenizer, both gram orders, the md5 bucket hash, both
+    histograms, the smoothed log-ratio, and the per-doc reduction."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") < 100))
+    raw = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+    w = curation.dsir_weights(
+        raw, target, num_buckets=64, n_max=2, smoothing=1.0, seed=3
+    )
+    out = curation.dsir_scores(raw, w, num_buckets=64, n_max=2, seed=3)
+    return out.select(
+        "doc_id",
+        F.col("n_features").cast("long").alias("n_features"),
+        F.round("log_weight", 4).alias("log_weight"),
+    ).orderBy("doc_id")
+
+
+def _q_dsir_resample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR end-to-end (round 5): train importance weights (target = en
+    docs < 100 against raw = docs 100-399), score every raw doc, draw
+    k=50 WITHOUT replacement by deterministic Gumbel-top-k in the log
+    domain (sampling.gumbel_top_k; the md5-uniform makes the draw
+    engine-bit-identical).  The oracle reproduces the EXACT membership:
+    the full weight model, the per-doc scores, the Gumbel perturbation
+    -ln(-ln((h+1)/2^52)), and the top-50 selection."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") < 100))
+    raw = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+    out = curation.dsir_resample(
+        raw, target, 50, num_buckets=64, n_max=2, smoothing=1.0, seed=3
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _q_canonical_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (round 4): three syntactic variants of the
     same logical page (mixed case, default port, shuffled query params,
@@ -2102,6 +2146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_guarantee_pairs": _q_winnow_guarantee_pairs,
         "exact_substr_removal": _q_exact_substr_removal,
         "nb_quality_scores_docs": _q_nb_quality_scores_docs,
+        "dsir_log_weights": _q_dsir_log_weights,
+        "dsir_resample_docs": _q_dsir_resample_docs,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "cm_join_size_within_bound": _q_cm_join_size_within_bound,
         "asof_click_error": _q_asof_click_error,
@@ -2203,6 +2249,47 @@ def oracle_sql() -> dict[str, str]:
         f"regexp_replace(regexp_replace(regexp_replace(t, '{_pii_email}', "
         f"'<EMAIL>', 'g'), '{_pii_phone}', '<PHONE>', 'g'), '{_pii_ipv4}', "
         "'<IPV4>', 'g')"
+    )
+    # DSIR shared model replica (Xie et al. 2023): engine-wide tokenizer,
+    # unigram+bigram stream, md5 feature hash into B=64 buckets (seed 3),
+    # Laplace-smoothed log p_target/p_raw over the complete bucket spine,
+    # per-raw-doc summed log weight — mirrors curation.dsir_weights /
+    # dsir_scores term for term.
+    _dsir_bucket = (
+        "CAST(concat('0x', substring(md5({g} || chr(31) || '3'), 1, 8)) "
+        "AS BIGINT) % 64"
+    )
+    _DSIR_MODEL_SQL = (
+        "WITH tg AS (SELECT list_filter(regexp_split_to_array(text, "
+        "  '\\s+'), x -> x <> '') AS ws FROM documents "
+        "  WHERE lang = 'en' AND doc_id < 100), "
+        "rw AS (SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "  '\\s+'), x -> x <> '') AS ws FROM documents "
+        "  WHERE doc_id >= 100 AND doc_id < 400), "
+        "tgr AS (SELECT ws[i] AS gram FROM tg, "
+        "  unnest(generate_series(1, len(ws))) t(i) "
+        "  UNION ALL SELECT ws[i] || ' ' || ws[i + 1] FROM tg, "
+        "  unnest(generate_series(1, len(ws) - 1)) t(i)), "
+        "rwg AS (SELECT doc_id, ws[i] AS gram FROM rw, "
+        "  unnest(generate_series(1, len(ws))) t(i) "
+        "  UNION ALL SELECT doc_id, ws[i] || ' ' || ws[i + 1] FROM rw, "
+        "  unnest(generate_series(1, len(ws) - 1)) t(i)), "
+        "ctc AS (SELECT " + _dsir_bucket.format(g="gram") + " AS bucket, "
+        "  count(*) AS c_t FROM tgr GROUP BY 1), "
+        "crc AS (SELECT " + _dsir_bucket.format(g="gram") + " AS bucket, "
+        "  count(*) AS c_r FROM rwg GROUP BY 1), "
+        "tt AS (SELECT (SELECT coalesce(sum(c_t), 0) FROM ctc) AS n_t, "
+        "  (SELECT coalesce(sum(c_r), 0) FROM crc) AS n_r), "
+        "w AS (SELECT s.bucket, "
+        "  ln((coalesce(ct.c_t, 0) + 1.0) / (tt.n_t + 64.0)) - "
+        "  ln((coalesce(cr.c_r, 0) + 1.0) / (tt.n_r + 64.0)) AS weight "
+        "  FROM range(64) s(bucket) "
+        "  LEFT JOIN ctc ct ON ct.bucket = s.bucket "
+        "  LEFT JOIN crc cr ON cr.bucket = s.bucket CROSS JOIN tt), "
+        "rbk AS (SELECT doc_id, " + _dsir_bucket.format(g="gram")
+        + " AS bucket FROM rwg), "
+        "ag AS (SELECT r.doc_id, sum(w.weight) AS s, count(*) AS n "
+        "  FROM rbk r JOIN w USING (bucket) GROUP BY r.doc_id)"
     )
     return {
         "repetition_stats_by_lang": (
@@ -2481,6 +2568,28 @@ def oracle_sql() -> dict[str, str]:
             "round(1.0 / (1.0 + exp(-(CASE WHEN coalesce(a.n, 0) > 0 "
             "  THEN a.sm / a.n ELSE 0.0 END))), 4) AS score "
             "FROM sd d LEFT JOIN ag a USING (doc_id) ORDER BY doc_id"
+        ),
+        "dsir_log_weights": (
+            _DSIR_MODEL_SQL
+            + " SELECT d.doc_id, CAST(coalesce(a.n, 0) AS BIGINT) "
+            "  AS n_features, "
+            "round(coalesce(a.s, 0.0), 4) AS log_weight "
+            "FROM (SELECT doc_id FROM rw) d LEFT JOIN ag a "
+            "USING (doc_id) ORDER BY doc_id"
+        ),
+        "dsir_resample_docs": (
+            _DSIR_MODEL_SQL
+            + ", sc AS (SELECT d.doc_id, coalesce(a.s, 0.0) AS lw "
+            "  FROM (SELECT doc_id FROM rw) d LEFT JOIN ag a "
+            "  USING (doc_id)), "
+            "pri AS (SELECT doc_id, lw - ln(-ln("
+            "  (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) "
+            "  || chr(31) || '4'), 1, 13)) AS BIGINT) + 1) "
+            "  / 4503599627370496.0)) AS gsc FROM sc), "
+            "top AS (SELECT doc_id FROM pri "
+            "  ORDER BY gsc DESC, doc_id LIMIT 50) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN top USING (doc_id) ORDER BY doc_id"
         ),
         "exact_substr_removal": (
             "WITH src AS (SELECT doc_id, text FROM documents "

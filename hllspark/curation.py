@@ -1189,3 +1189,190 @@ def nb_quality_scores(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) — hashed-ngram importance weights between a small
+# target corpus (the distribution you WANT, e.g. high-quality reference
+# text) and the raw corpus, then Gumbel-top-k resampling proportional to
+# the importance weight.  The model is two bag-of-hashed-ngrams bucket
+# histograms; everything is bounded by num_buckets regardless of corpus
+# size, so the weight table always broadcasts — the 100 TB shape is one
+# map-side-combined groupBy per corpus plus a broadcast join at scoring.
+# ---------------------------------------------------------------------------
+
+_DSIR_SEP = "\x1f"
+
+
+def dsir_bucket(gram: Column, num_buckets: int, seed: int = 0) -> Column:
+    """Engine-portable hashed-feature bucket in [0, num_buckets): first 8
+    md5 hex digits (32 bits, exact in a long) of ``gram || sep || seed``,
+    mod num_buckets — reproducible bit-identically in any engine with md5
+    (the same trick as sampling._md5_hex8, kept separate so feature
+    hashing and sampling draws are independent hash streams)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(_DSIR_SEP, gram, F.lit(str(seed)))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(int(num_buckets)))
+
+
+def _dsir_feature_stream(
+    df: DataFrame,
+    text_col: str,
+    num_buckets: int,
+    n_max: int,
+    seed: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """(bucket) — or (id, bucket) — one row per word n-gram occurrence
+    (n = 1..n_max), bucketed by ``dsir_bucket``.  Counts, not distinct:
+    DSIR's unigram/bigram model is a bag-of-features histogram."""
+    grams = ngram_col(F.col(text_col), 1)
+    for n in range(2, n_max + 1):
+        grams = F.concat(grams, ngram_col(F.col(text_col), n))
+    cols = [F.explode(grams).alias("gram")]
+    if id_col is not None:
+        cols.insert(0, F.col(id_col).alias("id"))
+    out = df.select(*cols)
+    b = dsir_bucket(F.col("gram"), num_buckets, seed).alias("bucket")
+    return out.select("id", b) if id_col is not None else out.select(b)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    n_max: int = 2,
+    smoothing: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """(bucket, weight) hashed-ngram log importance weights:
+
+      weight(b) = ln((C_target(b) + a) / (N_target + a*B))
+                - ln((C_raw(b) + a) / (N_raw + a*B))
+
+    over word unigrams..n_max-grams hashed into B = ``num_buckets``
+    buckets, Laplace-smoothed with a = ``smoothing``.  The table has
+    EXACTLY num_buckets rows (empty buckets included — under smoothing an
+    unseen bucket still carries the nonzero prior log-ratio), so scoring
+    joins never miss and the broadcast is bounded by construction.
+
+    Plan: one explode + map-side-combined groupBy(bucket) per corpus
+    (≤ B rows reach each reduce), totals via a 1-row broadcast crossJoin,
+    bucket spine from spark.range — no shuffle ever carries more than B
+    rows, at any corpus size."""
+    spark = raw.sparkSession
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    if n_max < 1:
+        raise ValueError("n_max must be >= 1")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            _dsir_feature_stream(df, text_col, num_buckets, n_max, seed)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ct = counts(target, "c_t")
+    cr = counts(raw, "c_r")
+    totals = (
+        ct.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
+        .crossJoin(cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).alias("n_r")))
+    )
+    spine = spark.range(int(num_buckets)).select(F.col("id").alias("bucket"))
+    a = F.lit(float(smoothing))
+    bb = F.lit(float(num_buckets))
+    w = (
+        F.log(
+            (F.coalesce(F.col("c_t"), F.lit(0)) + a)
+            / (F.col("n_t") + a * bb)
+        )
+        - F.log(
+            (F.coalesce(F.col("c_r"), F.lit(0)) + a)
+            / (F.col("n_r") + a * bb)
+        )
+    ).alias("weight")
+    return (
+        spine.join(ct, "bucket", "left")
+        .join(cr, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("bucket", w)
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    n_max: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """(id_col, n_features, log_weight) per-document log importance
+    weight: the sum over the doc's hashed n-gram OCCURRENCES of
+    weight(bucket).  num_buckets / n_max / seed must match the
+    ``dsir_weights`` call that built ``weights``.  Docs with no features
+    (shorter than one word) get log_weight 0.
+
+    Plan: feature stream inner-joins the broadcast B-row weight table
+    (never misses — the spine is complete) and reduces per doc; ONE
+    (id)-keyed shuffle of (id, weight) pairs, the text never shuffles."""
+    stream = _dsir_feature_stream(
+        df, text_col, num_buckets, n_max, seed, id_col=id_col
+    )
+    summed = (
+        stream.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("weight").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(summed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("s"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    n_max: int = 2,
+    smoothing: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """End-to-end DSIR: train importance weights of ``target`` against
+    ``df`` as the raw corpus, score every raw doc, and draw k docs
+    WITHOUT replacement with probability ∝ exp(log_weight) via
+    deterministic Gumbel-top-k (sampling.gumbel_top_k — log-domain, so
+    unbounded log weights never overflow).  Returns the selected rows of
+    ``df`` with their ``log_weight`` attached."""
+    from .sampling import gumbel_top_k
+
+    w = dsir_weights(
+        df, target, text_col, num_buckets, n_max, smoothing, seed
+    )
+    scores = dsir_scores(
+        df, w, id_col, text_col, num_buckets, n_max, seed
+    )
+    picked = gumbel_top_k(
+        scores, id_col, "log_weight", k, seed=seed + 1
+    ).select(id_col, "log_weight")
+    return df.join(F.broadcast(picked), id_col)

@@ -337,3 +337,47 @@ def stratified_sample(
         .where(F.col("__rn") <= F.col("__take"))
         .drop("__rn", "__take")
     )
+
+
+def gumbel_top_k(
+    df: DataFrame,
+    key_col: str,
+    logweight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement with weights
+    given IN THE LOG DOMAIN: take the k largest ``logw + g`` with Gumbel
+    noise g = -ln(-ln(u)), u the md5(key, seed) 52-bit uniform in (0, 1].
+
+    This is the same draw as ``weighted_sample`` with w = exp(logw) —
+    ranking by largest logw - ln(-ln u) is ranking by smallest
+    -ln(u)/w — but it never materializes exp(logw), so importance
+    weights of any magnitude (DSIR log weights are unbounded in both
+    directions) cannot overflow.  Null log weights are excluded.
+    Sort-free TakeOrdered(k); ties (measure-zero for real inputs) break
+    by key for cross-engine determinism."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    _SEP, F.col(key_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(2**52))
+    g = -F.log(-F.log(u))
+    return (
+        df.where(F.col(logweight_col).isNotNull())
+        .withColumn("__g", F.col(logweight_col).cast("double") + g)
+        .orderBy(F.desc("__g"), F.col(key_col))
+        .limit(k)
+        .drop("__g")
+    )

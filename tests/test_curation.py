@@ -554,3 +554,142 @@ def test_nb_quality_weights_ignores_null_labels(spark):
     nw = sorted(curation.nb_quality_weights(noisy).collect())
     assert cw == nw
     assert all(r["weight"] is not None for r in nw)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 5)
+# ---------------------------------------------------------------------------
+
+def _dsir_py_bucket(gram: str, num_buckets: int, seed: int) -> int:
+    import hashlib
+
+    h = int(
+        hashlib.md5((gram + "\x1f" + str(seed)).encode()).hexdigest()[:8], 16
+    )
+    return h % num_buckets
+
+
+def _dsir_py_grams(text: str, n_max: int) -> list[str]:
+    import re
+
+    ws = [x for x in re.split(r"\s+", text or "") if x != ""]
+    out: list[str] = []
+    for n in range(1, n_max + 1):
+        out += [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+    return out
+
+
+def test_dsir_weights_and_scores_brute_force(spark):
+    """Weight table and per-doc log weights match a literal python
+    replica (md5 feature hash, Laplace-smoothed log-ratio, occurrence
+    sums) on fixture documents."""
+    import math
+    from collections import Counter
+
+    from tests.conftest import SF_TEST
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") < 40))
+    raw = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 120))
+    B, NMAX, SEED, A = 32, 2, 3, 1.0
+    got_w = {
+        r["bucket"]: r["weight"]
+        for r in curation.dsir_weights(
+            raw, target, num_buckets=B, n_max=NMAX, smoothing=A, seed=SEED
+        ).collect()
+    }
+    assert len(got_w) == B  # complete spine, empty buckets included
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for r in target.select("text").collect():
+        ct.update(_dsir_py_bucket(g, B, SEED) for g in _dsir_py_grams(r[0], NMAX))
+    raw_rows = raw.select("doc_id", "text").collect()
+    for r in raw_rows:
+        cr.update(_dsir_py_bucket(g, B, SEED) for g in _dsir_py_grams(r[1], NMAX))
+    nt, nr = sum(ct.values()), sum(cr.values())
+    for b in range(B):
+        want = math.log((ct[b] + A) / (nt + A * B)) - math.log(
+            (cr[b] + A) / (nr + A * B)
+        )
+        assert abs(got_w[b] - want) < 1e-12, b
+    got_s = {
+        r["doc_id"]: (r["n_features"], r["log_weight"])
+        for r in curation.dsir_scores(
+            raw,
+            curation.dsir_weights(
+                raw, target, num_buckets=B, n_max=NMAX, smoothing=A, seed=SEED
+            ),
+            num_buckets=B,
+            n_max=NMAX,
+            seed=SEED,
+        ).collect()
+    }
+    for r in raw_rows:
+        gs = _dsir_py_grams(r[1], NMAX)
+        want = sum(got_w[_dsir_py_bucket(g, B, SEED)] for g in gs)
+        assert got_s[r[0]][0] == len(gs)
+        assert abs(got_s[r[0]][1] - want) < 1e-9
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """Docs sharing the target's planted vocabulary are overrepresented
+    in the importance resample relative to their base rate."""
+    rows = [
+        (
+            i,
+            ("quality reference prose " * 4)
+            if i % 4 == 0
+            else ("spam filler junk noise " * 4),
+        )
+        for i in range(200)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(i, "quality reference prose again") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = curation.dsir_resample(
+        raw, target, 40, num_buckets=256, seed=11
+    )
+    assert out.count() == 40
+    assert set(out.columns) == {"doc_id", "text", "log_weight"}
+    picked = [r["doc_id"] for r in out.collect()]
+    frac = sum(1 for i in picked if i % 4 == 0) / len(picked)
+    assert frac > 0.5  # base rate 0.25
+
+
+def test_dsir_scores_empty_and_null_text(spark):
+    target = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    w = curation.dsir_weights(raw, target, num_buckets=16, seed=1)
+    got = {
+        r["doc_id"]: r
+        for r in curation.dsir_scores(
+            raw, w, num_buckets=16, seed=1
+        ).collect()
+    }
+    assert got[2]["n_features"] == 0 and got[2]["log_weight"] == 0.0
+    assert got[3]["n_features"] == 0 and got[3]["log_weight"] == 0.0
+    assert got[1]["n_features"] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_dsir_scores_partition_invariant(spark):
+    from tests.conftest import SF_TEST
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").where(
+        F.col("doc_id") < 80
+    )
+    target = docs.where(F.col("lang") == "en")
+    w = curation.dsir_weights(docs, target, num_buckets=64, seed=5)
+
+    def run(df):
+        return sorted(
+            (r["doc_id"], r["n_features"], round(r["log_weight"], 9))
+            for r in curation.dsir_scores(
+                df, w, num_buckets=64, seed=5
+            ).collect()
+        )
+
+    assert run(docs.repartition(1)) == run(docs.repartition(17, "lang"))

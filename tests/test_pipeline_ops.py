@@ -567,3 +567,28 @@ def test_shuffle_rows_deterministic_partition_invariant(spark):
     assert sorted(m) == sorted(a) and m != sorted(m)
     with pytest.raises(ValueError):
         sampling.shuffle_rows(docs, "doc_id", method="sha9000")
+
+
+def test_gumbel_top_k_equals_aes_weighted_sample(spark):
+    """gumbel_top_k(logw) draws exactly the same sample as A-ES
+    weighted_sample(exp(logw)) — the log-domain form of the same
+    ranking — and excludes null log weights."""
+    import math
+
+    rows = [(i, math.sin(i * 1.7) * 3.0) for i in range(300)] + [(300, None)]
+    df = spark.createDataFrame(rows, "id long, lw double")
+    wdf = df.withColumn("w", F.exp(F.col("lw")))
+    for seed in (0, 7):
+        a = {
+            r["id"]
+            for r in sampling.gumbel_top_k(df, "id", "lw", 25, seed=seed).collect()
+        }
+        b = {
+            r["id"]
+            for r in sampling.weighted_sample(
+                wdf, "id", "w", 25, seed=seed
+            ).collect()
+        }
+        assert a == b and 300 not in a
+    out = sampling.gumbel_top_k(df, "id", "lw", 25, seed=0)
+    assert set(out.columns) == {"id", "lw"}
