@@ -2013,6 +2013,40 @@ def _q_quality_filter_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def _q_c4_filter_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 heuristic cleaning (hllspark/curation.py c4_filters — Raffel et
+    al. 2020 §2.2): the fixture's word-soup text gains deterministic
+    sentence structure (every ' data' becomes ' data.'), lines are split
+    on ' slow '; the operator then applies the real C4 rules — terminal
+    punctuation, >=3 words per line, line-phrase drop ('javascript',
+    'customer'), doc-phrase drop ('lorem ipsum', '{'), >=2 sentences
+    after cleaning.  The oracle replicates every rule with DuckDB list
+    lambdas on the byte-identical regexes.  Row-local JVM expressions:
+    one scan, zero shuffles, zero Python."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    punct = docs.withColumn("text", F.regexp_replace("text", " data", " data."))
+    out = curation.c4_filters(
+        punct,
+        line_sep=" slow ",
+        join_sep="\n",
+        min_line_words=3,
+        terminal_punct_re=r"[.!?]$",
+        min_sentences=2,
+        sentence_re=r"[.!?]",
+        drop_line_phrases=("javascript", "customer"),
+        drop_doc_phrases=("lorem ipsum", "{"),
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+    ).orderBy("doc_id")
+
+
 def _q_index_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental near-dup index (hllspark/dedup.py write_minhash_index /
     index_near_matches): docs < 300 are indexed once (signatures + banded
@@ -2127,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_stats_by_lang": _q_repetition_stats_by_lang,
         "quality_filter_survivors": _q_quality_filter_survivors,
+        "c4_filter_stats": _q_c4_filter_stats,
         "pack_chunks": _q_pack_chunks,
         "index_dedup_new_batch": _q_index_dedup_new_batch,
         "line_dedup_stats": _q_line_dedup_stats,
@@ -2385,6 +2420,28 @@ def oracle_sql() -> dict[str, str]:
             "AND mwl BETWEEN 1.0 AND 10.0 AND swr <= 0.1 "
             "AND dlf <= 0.35 AND dlcf <= 0.5 AND tg2 <= 0.095 AND tg3 <= 0.12 "
             "ORDER BY doc_id"
+        ),
+        "c4_filter_stats": (
+            "WITH base AS (SELECT doc_id, "
+            "  replace(text, ' data', ' data.') AS t FROM documents), "
+            "seg AS (SELECT doc_id, t, "
+            "  list_filter(list_transform(regexp_split_to_array(t, ' slow '), "
+            "    x -> trim(x)), x -> x <> '') AS lines FROM base), "
+            "k AS (SELECT doc_id, t, lines, list_filter(lines, x -> "
+            "  len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> '')) >= 3 "
+            "  AND regexp_matches(x, '[.!?]$') "
+            "  AND NOT contains(lower(x), 'javascript') "
+            "  AND NOT contains(lower(x), 'customer')) AS kept FROM seg), "
+            "c AS (SELECT doc_id, t, lines, kept, "
+            "  array_to_string(kept, chr(10)) AS clean FROM k), "
+            "s AS (SELECT doc_id, t, lines, kept, clean, "
+            "  len(regexp_extract_all(clean, '[.!?]')) AS ns FROM c) "
+            "SELECT doc_id, CAST(length(clean) AS BIGINT) AS text_len, "
+            "CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(kept) AS BIGINT) AS n_lines_kept, "
+            "CAST(ns AS BIGINT) AS n_sentences FROM s "
+            "WHERE ns >= 2 AND NOT contains(lower(t), 'lorem ipsum') "
+            "AND NOT contains(lower(t), '{') ORDER BY doc_id"
         ),
         "index_dedup_new_batch": (
             "WITH corpus AS (SELECT doc_id, text FROM documents "

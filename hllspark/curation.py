@@ -448,6 +448,84 @@ def quality_filter(
     return feat.where(keep).select(*df.columns)
 
 
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    line_sep: str = "\n",
+    join_sep: str = "\n",
+    min_line_words: int = 3,
+    terminal_punct_re: str = r'[.!?"]$',
+    min_sentences: int = 5,
+    sentence_re: str = r"[.!?]",
+    drop_line_phrases: tuple[str, ...] = ("javascript",),
+    drop_doc_phrases: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style heuristic cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2 — the rules behind the C4 corpus):
+
+    * keep only lines that end in a terminal punctuation mark
+      (``terminal_punct_re``; pass ``""`` to disable),
+    * drop lines with fewer than ``min_line_words`` words (engine
+      tokenizer :func:`hllspark.text.words_col`),
+    * drop lines containing any of ``drop_line_phrases``
+      (case-insensitive substring; C4 uses "javascript"),
+    * drop whole documents containing any of ``drop_doc_phrases``
+      (case-insensitive; C4 uses "lorem ipsum" and the code marker
+      ``{``) — checked against the ORIGINAL text, like C4,
+    * drop documents whose CLEANED text has fewer than ``min_sentences``
+      sentences, where the sentence count is the number of
+      ``sentence_re`` matches (a terminal-punctuation proxy for C4's
+      sentence splitter — documented approximation).
+
+    Returns the original columns with ``text_col`` replaced by the
+    rebuilt (kept-lines) text, plus ``n_lines`` / ``n_lines_kept`` /
+    ``n_sentences``.  Every rule is a row-local JVM expression: one scan,
+    zero shuffles, zero Python — the filter decision never leaves the map
+    task that read the page, which is the only shape that matters at
+    crawl scale.  The three-sentence-span dedup from the same paper is
+    corpus-global and lives in :func:`hllspark.dedup.remove_duplicate_runs`
+    (ExactSubstr subsumes it).  All regexes are in the Java ∩ RE2 subset
+    so the DuckDB contract oracle runs the byte-identical patterns.
+    """
+    for tmp in ("__c4_t", "__c4_lines", "__c4_kept", "__c4_clean", "__c4_ns"):
+        if tmp in df.columns:
+            raise ValueError(f"c4_filters: input already has a column {tmp!r}")
+
+    def _keep_line(x: Column) -> Column:
+        k = F.size(words_col(x)) >= min_line_words
+        if terminal_punct_re:
+            k = k & x.rlike(terminal_punct_re)
+        for p in drop_line_phrases:
+            k = k & ~F.lower(x).contains(p.lower())
+        return k
+
+    enriched = (
+        df.withColumn("__c4_t", F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+        .withColumn("__c4_lines", segments(F.col("__c4_t"), line_sep))
+        .withColumn("__c4_kept", F.filter(F.col("__c4_lines"), _keep_line))
+        .withColumn("__c4_clean", F.array_join(F.col("__c4_kept"), join_sep))
+        .withColumn(
+            "__c4_ns",
+            F.size(
+                F.regexp_extract_all(F.col("__c4_clean"), F.lit(sentence_re), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    keep = F.col("__c4_ns") >= min_sentences
+    for p in drop_doc_phrases:
+        keep = keep & ~F.lower(F.col("__c4_t")).contains(p.lower())
+    out_cols = [
+        F.col("__c4_clean").alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return enriched.where(keep).select(
+        *out_cols,
+        F.size("__c4_lines").cast("long").alias("n_lines"),
+        F.size("__c4_kept").cast("long").alias("n_lines_kept"),
+        F.col("__c4_ns").alias("n_sentences"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-level line dedup (RefinedWeb / CCNet style)
 # ---------------------------------------------------------------------------

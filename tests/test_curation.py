@@ -693,3 +693,59 @@ def test_dsir_scores_partition_invariant(spark):
         )
 
     assert run(docs.repartition(1)) == run(docs.repartition(17, "lang"))
+
+
+# --------------------------------------------------------------- C4 filters
+
+
+def test_c4_filters_each_rule(spark):
+    """One document per C4 rule (Raffel et al. 2020 §2.2): terminal
+    punctuation, min words/line, 'javascript' line drop, 'lorem ipsum' /
+    '{' page drop, min-sentence page drop, null text."""
+    rows = [
+        # survives: drops the short line and the unpunctuated line
+        (1, "This is a good first line.\nshort.\n"
+            "Another proper sentence here!\nno terminal punct line at all\n"
+            "And a third good one? Plus a fourth. And fifth sentence."),
+        # survives: drops only the javascript line
+        (2, "Enable javascript to view this page.\n"
+            "A fine line with plenty of words.\n"
+            "More good sentences follow here. Really. Truly. Surely."),
+        (3, "Lorem Ipsum dolor sit amet consectetur.\n"
+            "This would otherwise pass easily. Yes. It. Would. Indeed."),
+        (4, "function f() { return 1; }\n"
+            "Good line otherwise present here. A. B. C. D."),
+        (5, "Only two sentences in this document.\nJust these two lines exist!"),
+        (6, None),
+    ]
+    out = curation.c4_filters(_df(spark, rows), min_sentences=5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_lines, r1.n_lines_kept, r1.n_sentences) == (5, 3, 5)
+    assert "short." not in r1.text and "no terminal punct" not in r1.text
+    assert r1.text.count("\n") == 2  # 3 kept lines re-joined
+    r2 = got[2]
+    assert (r2.n_lines, r2.n_lines_kept, r2.n_sentences) == (3, 2, 5)
+    assert "javascript" not in r2.text
+
+
+def test_c4_filters_schema_preserved_and_shuffle_free(spark):
+    """Original columns survive with text replaced; the whole filter is
+    row-local — the executed plan must contain no Exchange."""
+    rows = [(1, "Alpha beta gamma delta. One. Two. Three. Four. Five.", "en")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = curation.c4_filters(df, min_sentences=5, min_line_words=1)
+    assert out.columns == [
+        "doc_id", "text", "lang", "n_lines", "n_lines_kept", "n_sentences"
+    ]
+    row = out.collect()[0]
+    assert row.lang == "en" and row.n_sentences == 6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_c4_filters_column_clash_guard(spark):
+    df = _df(spark, [(1, "x")]).withColumn("__c4_t", F.lit(1))
+    with pytest.raises(ValueError, match="__c4_t"):
+        curation.c4_filters(df)
