@@ -1964,6 +1964,64 @@ def _q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_blocked_hosts_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """UT1-style domain-blocklist filtering (round 5, hllspark/curation.py
+    filter_blocked_hosts): deterministic per-doc URLs with userinfo and
+    port noise; the blocklist carries one registrable domain, matched by
+    LABEL suffix (``x.ads.tracker.net`` blocked, ``x.nottracker.net``
+    kept).  Runs BOTH modes — literal (one codegen arrays_overlap
+    filter, zero shuffle) and DataFrame (broadcast semi-join over the
+    exploded (id, suffix) stream) — and returns (mode, doc_id)
+    survivors; the oracle re-derives the host from the construction and
+    applies the label-suffix rule independently, so the two modes are
+    gated equal AND correct (userinfo/port stripping included)."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("user:pw@")).otherwise(
+                F.lit("")
+            ),
+            F.lower(F.col("source")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".ads.tracker.net"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(".example.org"))
+            .otherwise(F.lit(".nottracker.net")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":8443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = ["tracker.net"]
+    lit_kept = curation.filter_blocked_hosts(urls, blocked).select(
+        F.lit("literal").alias("mode"), "doc_id"
+    )
+    bl_df = spark.createDataFrame([(d,) for d in blocked], "domain string")
+    df_kept = curation.filter_blocked_hosts(
+        urls, bl_df, id_col="doc_id"
+    ).select(F.lit("dataframe").alias("mode"), "doc_id")
+    return lit_kept.unionByName(df_kept).orderBy("mode", "doc_id")
+
+
+def _q_cap_per_group_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (round 5, RefinedWeb-style rebalancing,
+    hllspark/sampling.py cap_per_group): keep at most 12 docs per lang in
+    md5-hash order, via the SALTED two-phase path (salt_buckets=8) — the
+    oracle is the plain one-window SQL statement of the semantics, so the
+    skew-safe plan is gated to produce EXACTLY the unsalted membership."""
+    from hllspark import sampling
+
+    docs = _t(spark, sf, "documents")
+    out = sampling.cap_per_group(
+        docs, "lang", "doc_id", 12, salt_buckets=8, seed=3
+    )
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def _q_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (hllspark/curation.py pack_sequences): GPT-style
     concat-and-chunk assignment over the whole corpus in doc_id order,
@@ -2167,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "pii_redact_stats": _q_pii_redact_stats,
         "url_host_stats": _q_url_host_stats,
+        "blocked_hosts_filter": _q_blocked_hosts_filter,
+        "cap_per_group_docs": _q_cap_per_group_docs,
         "session_stats_events": _q_session_stats_events,
         "hash_sample_docs": _q_hash_sample_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
@@ -2545,6 +2605,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, "
             "round(avg(path_depth), 4) AS avg_path_depth "
             "FROM rd GROUP BY registered_domain ORDER BY registered_domain"
+        ),
+        "blocked_hosts_filter": (
+            # re-derive the URL from the construction, parse the host the
+            # standard way (scheme -> strip userinfo -> strip port), and
+            # apply the label-suffix blocklist rule independently; both
+            # engine modes must match this one answer
+            "WITH u AS (SELECT doc_id, 'https://' || "
+            "  CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END || "
+            "  lower(source) || "
+            "  CASE WHEN doc_id % 3 = 0 THEN '.ads.tracker.net' "
+            "       WHEN doc_id % 3 = 1 THEN '.example.org' "
+            "       ELSE '.nottracker.net' END || "
+            "  CASE WHEN doc_id % 2 = 0 THEN ':8443' ELSE '' END || "
+            "  '/p/' || CAST(doc_id AS VARCHAR) AS url "
+            "  FROM documents WHERE doc_id < 400), "
+            "h AS (SELECT doc_id, "
+            "  lower(string_split(string_split(regexp_extract(url, "
+            "    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '@')[-1], "
+            "    ':')[1]) AS host FROM u), "
+            "kept AS (SELECT doc_id FROM h WHERE NOT "
+            "  (host = 'tracker.net' OR host LIKE '%.tracker.net')) "
+            "SELECT m.mode, k.doc_id FROM kept k CROSS JOIN "
+            "(SELECT unnest(['dataframe', 'literal']) AS mode) m "
+            "ORDER BY mode, doc_id"
+        ),
+        "cap_per_group_docs": (
+            # the PLAIN one-window statement of the semantics — the
+            # engine runs the salted two-phase plan, gated to produce
+            # exactly this membership
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY substring(md5(concat_ws(chr(31), "
+            "CAST(doc_id AS VARCHAR), '3')), 1, 8), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 12 ORDER BY lang, doc_id"
         ),
         "session_stats_events": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id "

@@ -1156,6 +1156,78 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def host_suffixes(host: Column) -> Column:
+    """All label suffixes of a host, longest first: ``a.b.co.uk`` ->
+    ``[a.b.co.uk, b.co.uk, co.uk, uk]``.  Bounded by the label count
+    (<= ~10 on real hosts), so the per-row cost is constant."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+    id_col: str | None = None,
+    blocked_col: str = "domain",
+    invert: bool = False,
+) -> DataFrame:
+    """URL blocklist filtering (UT1-style domain blocklists): drop rows
+    whose host equals a blocked domain OR is a subdomain of one (label-
+    suffix match — ``ads.example.com`` is blocked by ``example.com``;
+    ``notexample.com`` is not).  Rows whose URL yields no host are kept
+    (nothing to match).  ``invert=True`` returns the BLOCKED rows
+    instead — the audit view.
+
+    Two shapes, picked by the type of ``blocked``:
+
+    * a Python sequence (curated lists, <= ~100k entries): the whole
+      test is ONE codegen expression — ``arrays_overlap(host_suffixes,
+      literal set)``.  Zero shuffle, zero Python, evaluated in the scan
+      stage; the 100 TB hot path.
+    * a DataFrame with column ``blocked_col`` (multi-million-entry UT1
+      dumps that would bloat the plan as literals): requires ``id_col``
+      (a unique row key).  A projected (id, suffix) stream — never the
+      text/html payload — broadcast-semi-joins the blocklist; the
+      matching ids then anti-join back onto the corpus.  The join-back
+      shuffles row keys only; on a corpus bucketed by ``id_col``
+      (``hllspark.io.write_bucketed``) it co-locates with no exchange
+      on the big side.
+    """
+    host = url_host(F.col(url_col))
+    sfx = host_suffixes(host)
+    if isinstance(blocked, DataFrame):
+        if not id_col:
+            raise ValueError("DataFrame blocklists require id_col (unique row key)")
+        bl = (
+            blocked.select(
+                F.lower(F.col(blocked_col).cast("string")).alias("__bl_domain")
+            )
+            .where(F.col("__bl_domain").isNotNull() & (F.col("__bl_domain") != ""))
+            .distinct()
+        )
+        pairs = df.select(F.col(id_col), F.explode(sfx).alias("__sfx"))
+        hit_ids = (
+            pairs.join(
+                F.broadcast(bl), pairs["__sfx"] == bl["__bl_domain"], "left_semi"
+            )
+            .select(id_col)
+            .distinct()
+        )
+        return df.join(hit_ids, id_col, "left_semi" if invert else "left_anti")
+    vals = sorted({str(d).strip().lower() for d in blocked if d and str(d).strip()})
+    if not vals:
+        return df.where(F.lit(False)) if invert else df
+    hit = F.coalesce(
+        F.arrays_overlap(sfx, F.array(*[F.lit(v) for v in vals])), F.lit(False)
+    )
+    return df.where(hit if invert else ~hit)
+
+
 # ---------------------------------------------------------------------------
 # Naive-Bayes log-odds quality classifier (fastText-style filter stage)
 # ---------------------------------------------------------------------------

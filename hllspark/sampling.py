@@ -339,6 +339,64 @@ def stratified_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    key_col: str,
+    k: int,
+    order_cols: list | None = None,
+    salt_buckets: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group document cap — the RefinedWeb/Dolma-style domain
+    rebalancing pass ("keep at most k pages per registered domain"):
+    keep the first ``k`` rows of every group, drop the rest.
+
+    Order within a group is ``order_cols`` (e.g. a quality score,
+    descending) broken by ``key_col``; with no ``order_cols`` the
+    survivors are the k smallest by md5 hash of the key — deterministic
+    "random", engine-portable, same selection rule as
+    :func:`stratified_sample`.
+
+    Skew is the whole problem at crawl scale: a plain per-group window
+    puts EVERY row of a mega-host in one task, so one 100M-page domain
+    stalls the stage.  ``salt_buckets = s > 1`` runs two phases:
+
+    * phase 1 windows over (group, salt) — salt is a hash of the key,
+      uniform by construction — keeping at most k per bucket, so the
+      heavy group's rows spread over s tasks;
+    * phase 2 windows over the group on the pre-capped stream, whose
+      per-group size is now <= s*k no matter how large the group was.
+
+    Exact, not approximate: any row in a group's global top-k is in its
+    own bucket's top-k, so phase 2 always sees all global survivors —
+    salted and unsalted membership are identical (pytest-gated)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if order_cols is None:
+        pri = [_md5_hex8([F.col(key_col)], seed)]
+    else:
+        pri = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    order = [*pri, F.col(key_col)]
+    out = df
+    if salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*group_cols, salt).orderBy(*order)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w1))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def gumbel_top_k(
     df: DataFrame,
     key_col: str,

@@ -749,3 +749,53 @@ def test_c4_filters_column_clash_guard(spark):
     df = _df(spark, [(1, "x")]).withColumn("__c4_t", F.lit(1))
     with pytest.raises(ValueError, match="__c4_t"):
         curation.c4_filters(df)
+
+
+# ------------------------------------------------------ host blocklist
+
+
+_BL_ROWS = [
+    (1, "https://ads.example.com/x"),       # subdomain of blocked
+    (2, "https://example.com/y"),           # exact blocked
+    (3, "https://notexample.com/z"),        # suffix STRING but not label suffix
+    (4, "https://good.org/a"),              # clean
+    (5, "https://tracker.co.uk:8080/b"),    # blocked with port
+    (6, None),                              # no host -> kept
+]
+_BL = ["example.com", "tracker.co.uk"]
+
+
+def test_filter_blocked_hosts_literal(spark):
+    df = spark.createDataFrame(_BL_ROWS, "doc_id int, url string")
+    kept = curation.filter_blocked_hosts(df, _BL)
+    assert {r.doc_id for r in kept.collect()} == {3, 4, 6}
+    audit = curation.filter_blocked_hosts(df, _BL, invert=True)
+    assert {r.doc_id for r in audit.collect()} == {1, 2, 5}
+    # zero shuffle: the literal mode is one codegen filter
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # empty blocklist: everything kept / nothing blocked
+    assert curation.filter_blocked_hosts(df, []).count() == 6
+    assert curation.filter_blocked_hosts(df, [], invert=True).count() == 0
+
+
+def test_filter_blocked_hosts_dataframe_mode_matches_literal(spark):
+    df = spark.createDataFrame(_BL_ROWS, "doc_id int, url string")
+    bl = spark.createDataFrame(
+        [(d,) for d in _BL] + [(None,), ("",)], "domain string"
+    )
+    kept = curation.filter_blocked_hosts(df, bl, id_col="doc_id")
+    assert {r.doc_id for r in kept.collect()} == {3, 4, 6}
+    audit = curation.filter_blocked_hosts(df, bl, id_col="doc_id", invert=True)
+    assert {r.doc_id for r in audit.collect()} == {1, 2, 5}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError, match="id_col"):
+        curation.filter_blocked_hosts(df, bl)
+
+
+def test_host_suffixes(spark):
+    df = spark.createDataFrame([("a.b.co.uk",), ("uk",)], "h string")
+    got = df.select(curation.host_suffixes(F.col("h")).alias("s")).collect()
+    assert got[0].s == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+    assert got[1].s == ["uk"]

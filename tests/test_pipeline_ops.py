@@ -592,3 +592,55 @@ def test_gumbel_top_k_equals_aes_weighted_sample(spark):
         assert a == b and 300 not in a
     out = sampling.gumbel_top_k(df, "id", "lw", 25, seed=0)
     assert set(out.columns) == {"id", "lw"}
+
+
+# ----------------------------------------------------------- cap_per_group
+
+
+def test_cap_per_group_salted_equals_unsalted(spark):
+    """Two-phase (salted) capping is EXACT: membership identical to the
+    plain window on a skewed corpus (one mega-group, several small)."""
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, f"small{i % 3}") for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "id long, host string").repartition(13)
+    plain = sampling.cap_per_group(df, "host", "id", 10)
+    salted = sampling.cap_per_group(df, "host", "id", 10, salt_buckets=8)
+    a = {(r.id, r.host) for r in plain.collect()}
+    b = {(r.id, r.host) for r in salted.collect()}
+    assert a == b
+    per = {}
+    for _, h in a:
+        per[h] = per.get(h, 0) + 1
+    assert per["big"] == 10
+    assert all(v <= 10 for v in per.values())
+    # groups smaller than k pass through whole: 21 small rows over 3 hosts
+    assert sum(v for h, v in per.items() if h != "big") == 21
+
+
+def test_cap_per_group_order_and_validation(spark):
+    """order_cols picks the survivors (quality desc); k<1 rejected."""
+    rows = [(i, "h", float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "id long, host string, q double")
+    out = sampling.cap_per_group(
+        df, "host", "id", 3, order_cols=[F.desc("q")]
+    )
+    assert {r.id for r in out.collect()} == {6, 7, 8}
+    assert out.columns == ["id", "host", "q"]
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.cap_per_group(df, "host", "id", 0)
+
+
+def test_cap_per_group_partition_invariant(spark):
+    """Default md5-hash order makes the surviving set independent of the
+    input partitioning AND of salting."""
+    df = _docs(spark).select("doc_id", "lang")
+    runs = [
+        sampling.cap_per_group(df.repartition(1), "lang", "doc_id", 7),
+        sampling.cap_per_group(df.repartition(17), "lang", "doc_id", 7),
+        sampling.cap_per_group(
+            df.repartition(5, "lang"), "lang", "doc_id", 7, salt_buckets=4
+        ),
+    ]
+    sets = [{(r.doc_id, r.lang) for r in o.collect()} for o in runs]
+    assert sets[0] == sets[1] == sets[2] and len(sets[0]) == 35
