@@ -54,6 +54,12 @@ def main() -> int:
     ).count()
     assert mismatches == 0, f"{mismatches} extraction mismatches"
 
+    # 1b. host blocklist: drop blocked domains (and their subdomains)
+    # before anything touches the text — one codegen filter in the scan
+    # stage; the synthetic corpus has no blocked hosts, asserted
+    pages = curation.filter_blocked_hosts(pages, ["ads-tracker.invalid"])
+    assert pages.count() == n_rows
+
     # 2. quality + language filter: score-based cut, then the Gopher
     # repetition rules via the Arrow-vectorized fast path, then PII
     # redaction (word-soup fixture: thresholds loosened to fit its short
@@ -159,10 +165,16 @@ def main() -> int:
     ).collect()[0]
     assert pack_stats["n_chunks"] >= pack_stats["total_tokens"] // 2048
 
-    # 4d. round-4 curation: rebalance the train shard to a target language
-    # mixture, then LM-perplexity-score the result (CCNet-style proxy)
+    # 4d. round-4 curation: cap per-host page counts (RefinedWeb-style
+    # domain rebalancing, salted against mega-host skew), then rebalance
+    # the train shard to a target language mixture, then LM-perplexity-
+    # score the result (CCNet-style proxy)
+    capped = sampling.cap_per_group(
+        train.withColumn("host", curation.url_host(F.col("url"))),
+        "host", "url", 50, salt_buckets=8,
+    ).drop("host")
     balanced = sampling.mixture_sample(
-        train, "lang", "url", {"en": 0.5, "de": 0.3, "fr": 0.2}, seed=11
+        capped, "lang", "url", {"en": 0.5, "de": 0.3, "fr": 0.2}, seed=11
     )
     lm = curation.lm_perplexity_scores(
         balanced.withColumn("did", F.xxhash64("url")), id_col="did"
