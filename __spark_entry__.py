@@ -1969,11 +1969,12 @@ def _q_blocked_hosts_filter(spark: SparkSession, sf: str) -> DataFrame:
     filter_blocked_hosts): deterministic per-doc URLs with userinfo and
     port noise; the blocklist carries one registrable domain, matched by
     LABEL suffix (``x.ads.tracker.net`` blocked, ``x.nottracker.net``
-    kept).  Runs BOTH modes — literal (one codegen arrays_overlap
-    filter, zero shuffle) and DataFrame (broadcast semi-join over the
-    exploded (id, suffix) stream) — and returns (mode, doc_id)
+    kept).  Runs ALL THREE modes — literal-regex (anchored alternation,
+    zero shuffle), literal-set (exists over host suffixes + hash-set
+    probe, the giant-list path), and DataFrame (broadcast semi-join over
+    the exploded (id, suffix) stream) — and returns (mode, doc_id)
     survivors; the oracle re-derives the host from the construction and
-    applies the label-suffix rule independently, so the two modes are
+    applies the label-suffix rule independently, so the three modes are
     gated equal AND correct (userinfo/port stripping included)."""
     from hllspark import curation
 
@@ -2000,11 +2001,18 @@ def _q_blocked_hosts_filter(spark: SparkSession, sf: str) -> DataFrame:
     lit_kept = curation.filter_blocked_hosts(urls, blocked).select(
         F.lit("literal").alias("mode"), "doc_id"
     )
+    set_kept = curation.filter_blocked_hosts(
+        urls, blocked, max_regex_entries=0
+    ).select(F.lit("set").alias("mode"), "doc_id")
     bl_df = spark.createDataFrame([(d,) for d in blocked], "domain string")
     df_kept = curation.filter_blocked_hosts(
         urls, bl_df, id_col="doc_id"
     ).select(F.lit("dataframe").alias("mode"), "doc_id")
-    return lit_kept.unionByName(df_kept).orderBy("mode", "doc_id")
+    return (
+        lit_kept.unionByName(set_kept)
+        .unionByName(df_kept)
+        .orderBy("mode", "doc_id")
+    )
 
 
 def _q_cap_per_group_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2627,7 +2635,7 @@ def oracle_sql() -> dict[str, str]:
             "kept AS (SELECT doc_id FROM h WHERE NOT "
             "  (host = 'tracker.net' OR host LIKE '%.tracker.net')) "
             "SELECT m.mode, k.doc_id FROM kept k CROSS JOIN "
-            "(SELECT unnest(['dataframe', 'literal']) AS mode) m "
+            "(SELECT unnest(['dataframe', 'literal', 'set']) AS mode) m "
             "ORDER BY mode, doc_id"
         ),
         "cap_per_group_docs": (

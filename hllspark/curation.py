@@ -28,6 +28,8 @@ so the DuckDB contract oracles run the byte-identical pattern.
 
 from __future__ import annotations
 
+import re as _re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -1175,6 +1177,7 @@ def filter_blocked_hosts(
     id_col: str | None = None,
     blocked_col: str = "domain",
     invert: bool = False,
+    max_regex_entries: int = 1000,
 ) -> DataFrame:
     """URL blocklist filtering (UT1-style domain blocklists): drop rows
     whose host equals a blocked domain OR is a subdomain of one (label-
@@ -1185,10 +1188,13 @@ def filter_blocked_hosts(
 
     Two shapes, picked by the type of ``blocked``:
 
-    * a Python sequence (curated lists, <= ~100k entries): the whole
-      test is ONE codegen expression — ``arrays_overlap(host_suffixes,
-      literal set)``.  Zero shuffle, zero Python, evaluated in the scan
-      stage; the 100 TB hot path.
+    * a Python sequence (curated lists, <= ~100k entries): ONE row-local
+      filter evaluated in the scan stage — zero shuffle, zero Python;
+      the 100 TB hot path.  Up to ``max_regex_entries`` entries it is an
+      anchored regex alternation over the host (whole-stage codegen,
+      2.1M urls/s measured); past that, ``exists(host_suffixes, isin)``
+      — a per-suffix hash-set probe whose cost is independent of the
+      list size (PLANS §37).
     * a DataFrame with column ``blocked_col`` (multi-million-entry UT1
       dumps that would bloat the plan as literals): requires ``id_col``
       (a unique row key).  A projected (id, suffix) stream — never the
@@ -1222,9 +1228,17 @@ def filter_blocked_hosts(
     vals = sorted({str(d).strip().lower() for d in blocked if d and str(d).strip()})
     if not vals:
         return df.where(F.lit(False)) if invert else df
-    hit = F.coalesce(
-        F.arrays_overlap(sfx, F.array(*[F.lit(v) for v in vals])), F.lit(False)
-    )
+    # strategy measured at 2M urls (PLANS §37): one anchored regex
+    # alternation is ~5x faster than any array form for curated-size
+    # lists but degrades linearly with entries (0.04M rows/s at 20k);
+    # exists(suffixes, isin) is list-size-INDEPENDENT (~0.6M rows/s at
+    # 500 and 20k alike, isin compiles to a hash-set probe), so it takes
+    # over past the measured crossover
+    if len(vals) <= max_regex_entries:
+        pat = "(^|\\.)(" + "|".join(_re.escape(v) for v in vals) + ")$"
+        hit = F.coalesce(host.rlike(pat), F.lit(False))
+    else:
+        hit = F.coalesce(F.exists(sfx, lambda s: s.isin(*vals)), F.lit(False))
     return df.where(hit if invert else ~hit)
 
 

@@ -767,13 +767,18 @@ _BL = ["example.com", "tracker.co.uk"]
 
 def test_filter_blocked_hosts_literal(spark):
     df = spark.createDataFrame(_BL_ROWS, "doc_id int, url string")
-    kept = curation.filter_blocked_hosts(df, _BL)
-    assert {r.doc_id for r in kept.collect()} == {3, 4, 6}
-    audit = curation.filter_blocked_hosts(df, _BL, invert=True)
-    assert {r.doc_id for r in audit.collect()} == {1, 2, 5}
-    # zero shuffle: the literal mode is one codegen filter
-    plan = kept._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    for force_set in (False, True):
+        kw = {"max_regex_entries": 0} if force_set else {}
+        kept = curation.filter_blocked_hosts(df, _BL, **kw)
+        assert {r.doc_id for r in kept.collect()} == {3, 4, 6}
+        audit = curation.filter_blocked_hosts(df, _BL, invert=True, **kw)
+        assert {r.doc_id for r in audit.collect()} == {1, 2, 5}
+        # zero shuffle: both literal strategies are one scan-stage filter
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    # regex metachars in a domain entry must be treated literally
+    noisy = curation.filter_blocked_hosts(df, ["examp.e.com"])
+    assert {r.doc_id for r in noisy.collect()} == {1, 2, 3, 4, 5, 6}
     # empty blocklist: everything kept / nothing blocked
     assert curation.filter_blocked_hosts(df, []).count() == 6
     assert curation.filter_blocked_hosts(df, [], invert=True).count() == 0
