@@ -844,6 +844,41 @@ def _q_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("media_id")
 
 
+def _q_warc_read_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC ingest end-to-end (round 5, hllspark/warc.py): synthesize
+    deterministic WARC files (record i is a closed-form function of i;
+    files alternate plain / per-record-gzip), read them back with
+    read_warc (binaryFile + streaming record parse + HTTP split), and
+    report per-record stats including the byte SUM over the decoded
+    body — the DuckDB oracle recomputes everything from the generating
+    formulas, so any wrong byte in the gzip-member walk, header parse,
+    Content-Length slicing, or HTTP envelope split breaks the hash."""
+    import hashlib
+    import shutil
+
+    from hllspark import warc as W
+
+    n = 48
+    path = "/tmp/hllspark_warc_" + hashlib.sha1(sf.encode()).hexdigest()[:10]
+    shutil.rmtree(path, ignore_errors=True)
+    W.synthesize_warc_files(path, n, records_per_file=16)
+    recs = W.read_warc(spark, path)
+    body = F.col("payload").cast("string")  # fixture bodies are ascii
+    return recs.select(
+        "target_uri",
+        (
+            F.substring("warc_date", 12, 2).cast("int") * 60
+            + F.substring("warc_date", 15, 2).cast("int")
+        ).alias("minute_of_day"),
+        F.length(body).cast("long").alias("body_len"),
+        F.expr(
+            "aggregate(sequence(1, length(cast(payload as string))), 0L, "
+            "(acc, k) -> acc + ascii(substr(cast(payload as string), k, 1)))"
+        ).alias("body_byte_sum"),
+        F.col("warc_file").endswith(".gz").cast("int").alias("from_gzip"),
+    ).orderBy("target_uri")
+
+
 def _q_sketch_overlap_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Set-operation estimates from sketch columns only: distinct-user
     union/intersection between the two alphabetically-first event types;
@@ -2285,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header_stats": _q_media_header_stats,
         "png_decode_stats": _q_png_decode_stats,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
+        "warc_read_stats": _q_warc_read_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
         "embedding_near_dup_pairs": _q_embedding_near_dup_pairs,
@@ -3276,6 +3312,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(h AS INT) AS height, CAST(sum(v) AS BIGINT) AS pixel_sum, "
             "avg(v) AS pixel_mean "
             "FROM px GROUP BY 1, 2, 3 ORDER BY media_id"
+        ),
+        "warc_read_stats": (
+            "SELECT 'https://w' || CAST(r.range % 7 AS VARCHAR) || "
+            "'.example.com/p' || CAST(r.range AS VARCHAR) AS target_uri, "
+            "CAST(r.range AS INT) AS minute_of_day, "
+            "CAST(10 + (r.range * 7) % 50 AS BIGINT) AS body_len, "
+            "CAST((97 + r.range % 26) * (10 + (r.range * 7) % 50) AS BIGINT) "
+            "AS body_byte_sum, "
+            "CAST((r.range // 16) % 2 AS INT) AS from_gzip "
+            "FROM range(48) r ORDER BY target_uri"
         ),
         "text_token_counts": (
             "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
