@@ -1671,6 +1671,28 @@ def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_ccnet_bucket_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style per-language perplexity tiers (round 5,
+    curation.ccnet_buckets): every document bucketed head/middle/tail by
+    bigram-LM cross-entropy within its language.  The operator computes
+    exact NTILE semantics WITHOUT a per-language window (range
+    repartition + broadcast rank offsets — no whole-language-in-one-task
+    skew); the oracle replicates the full LM and a literal NTILE(3) in
+    SQL, so both the scores and the distributed rank path are gated."""
+    from hllspark import curation
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    out = curation.ccnet_buckets(docs, n_buckets=3, num_partitions=8)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+        "bucket",
+        "bucket_label",
+    ).orderBy("doc_id")
+
+
 def _q_lm_perplexity_capped_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Vocab-capped bigram-LM scoring (round 5): the model vocabulary is
     capped to the exact top-20 tokens (Misra-Gries candidates + exact
@@ -2276,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": _q_mixture_sample_docs,
         "temperature_sample_docs": _q_temperature_sample_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
+        "ccnet_bucket_docs": _q_ccnet_bucket_docs,
         "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
@@ -2909,6 +2932,45 @@ def oracle_sql() -> dict[str, str]:
             "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
             "  AS cross_entropy "
             "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
+        ),
+        "ccnet_bucket_docs": (
+            "WITH base AS (SELECT doc_id, lang, list_filter("
+            "  regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') "
+            "  AS ws FROM documents WHERE doc_id < 300), "
+            "tok AS (SELECT doc_id, ws[i] AS w FROM base, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w), "
+            "st AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM tok), "
+            "pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM base, "
+            "  unnest(generate_series(1, len(ws) - 1)) t(i) "
+            "  WHERE len(ws) >= 2), "
+            "bi AS (SELECT w1, w2, count(*) AS c2 FROM pairs "
+            "  GROUP BY w1, w2), "
+            "bl AS (SELECT p.doc_id, "
+            "  ln((b.c2 + 1.0) / (u.c1 + st.v)) AS lp "
+            "  FROM pairs p JOIN bi b USING (w1, w2) "
+            "  JOIN uni u ON u.w = p.w1 CROSS JOIN st), "
+            "agg AS (SELECT doc_id, sum(lp) AS slp FROM bl GROUP BY doc_id), "
+            "fs AS (SELECT b.doc_id, b.lang, "
+            "  CAST(len(b.ws) AS BIGINT) AS n_tokens, "
+            "  CASE WHEN len(b.ws) > 0 THEN "
+            "    ln((coalesce(u.c1, 0) + 1.0) / (st.n + st.v)) ELSE 0 END "
+            "    AS lp0 "
+            "  FROM base b LEFT JOIN uni u ON u.w = b.ws[1] CROSS JOIN st), "
+            "scored AS (SELECT f.doc_id, f.lang, f.n_tokens, "
+            "  CASE WHEN f.n_tokens > 0 THEN "
+            "    -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END "
+            "    AS ce "
+            "  FROM fs f LEFT JOIN agg a USING (doc_id)), "
+            "bk AS (SELECT doc_id, lang, n_tokens, "
+            "  round(ce, 4) AS cross_entropy, "
+            "  CAST(ntile(3) OVER (PARTITION BY lang "
+            "    ORDER BY round(ce, 4), doc_id) AS INT) AS bucket "
+            "  FROM scored) "
+            "SELECT doc_id, lang, n_tokens, cross_entropy, bucket, "
+            "CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail' "
+            "ELSE 'middle' END AS bucket_label "
+            "FROM bk ORDER BY doc_id"
         ),
         "mixture_sample_docs": (
             "WITH p(lang, prop) AS (VALUES ('de', 0.3), ('en', 0.5), "

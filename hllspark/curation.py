@@ -1086,6 +1086,108 @@ def _lm_pair_stream(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    model_df: DataFrame | None = None,
+    max_vocab: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.3): score every document with the bigram-LM cross-entropy
+    (:func:`lm_perplexity_scores`), then split each language into
+    ``n_buckets`` equal-count quality tiers — head (most fluent),
+    middle, tail.  The head/middle thirds are what CCNet keeps for
+    training corpora.
+
+    Returns (id_col, lang_col, n_tokens, cross_entropy, bucket 1-based,
+    bucket_label head/middle/tail).  Bucket boundaries follow exact
+    NTILE semantics: within a language ordered by
+    (round(cross_entropy, 4), id) — the rounding makes the order
+    engine-portable, the id makes ties deterministic — the first
+    ``n mod b`` buckets take ``ceil(n/b)`` rows, the rest ``floor(n/b)``.
+
+    Scale design — deliberately NOT ``ntile() over (partition by lang)``:
+    that window puts an entire language in ONE task, and `en` at crawl
+    scale is most of the corpus (the same skew hazard PLANS §9 measures
+    for hot keys).  Instead the exact rank is computed the
+    :func:`global_cumsum` way: range-repartition on
+    (lang, score, id) — so every partition holds a contiguous slice and
+    languages SPAN partitions instead of owning one — per-partition
+    ``row_number``, a bounded driver collect of (partition, lang) counts
+    (<= partitions + languages rows: langs are contiguous under the
+    range partitioning), and a broadcast offset join.  The bucket then
+    falls out of the closed-form NTILE formula from (rank, n_lang) with
+    zero further shuffles."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scores = lm_perplexity_scores(
+        df, id_col, text_col, model_df=model_df, max_vocab=max_vocab
+    )
+    scored = scores.join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    ).withColumn("__ce", F.round(F.col("cross_entropy"), 4))
+    parts = (
+        scored.repartitionByRange(num_partitions, lang_col, "__ce", id_col)
+        if num_partitions
+        else scored.repartitionByRange(lang_col, "__ce", id_col)
+    )
+    w = Window.partitionBy("__pid", lang_col).orderBy("__ce", id_col)
+    local = (
+        parts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    counts = local.groupBy("__pid", lang_col).count().collect()
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for row in sorted(counts, key=lambda r: (r[lang_col], r["__pid"])):
+        by_lang.setdefault(row[lang_col], []).append(
+            (row["__pid"], row["count"])
+        )
+    rows = []
+    for lang, lst in by_lang.items():
+        total = sum(c for _, c in lst)
+        off = 0
+        for pid, c in lst:
+            rows.append((pid, lang, off, total))
+            off += c
+    spark = df.sparkSession
+    off_schema = f"__pid int, {lang_col} string, __off long, __n long"
+    off_df = spark.createDataFrame(rows, off_schema)
+    ranked = local.join(F.broadcast(off_df), ["__pid", lang_col], "left")
+    k = (F.col("__rn") + F.coalesce(F.col("__off"), F.lit(0))).cast("long")
+    n = F.coalesce(F.col("__n"), F.lit(1)).cast("long")
+    nb = F.lit(int(n_buckets)).cast("long")
+    q = (n - n % nb) / nb  # floor(n / nb) in exact integer arithmetic
+    q = q.cast("long")
+    r = (n % nb).cast("long")
+    head_cut = r * (q + F.lit(1))
+    safe_q = F.greatest(q, F.lit(1))  # else-branch divisor; q=0 never taken
+    bucket = F.when(
+        k <= head_cut,
+        (k + q) / (q + F.lit(1)),
+    ).otherwise(r + (k - head_cut + safe_q - F.lit(1)) / safe_q)
+    bucket = F.floor(bucket).cast("int")
+    label = (
+        F.when(bucket == F.lit(1), F.lit("head"))
+        .when(bucket == F.lit(int(n_buckets)), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.col("cross_entropy"),
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
+    )
+
+
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 # query = everything after the FIRST '?' that occurs BEFORE any '#':
 # the lazy [^#]*? prefix cannot cross a fragment marker, so a '?'

@@ -804,3 +804,68 @@ def test_host_suffixes(spark):
     got = df.select(curation.host_suffixes(F.col("h")).alias("s")).collect()
     assert got[0].s == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
     assert got[1].s == ["uk"]
+
+
+# ----------------------------------------------------------- ccnet buckets
+
+
+def test_ccnet_buckets_match_ntile_window(spark):
+    """The distributed rank path (range repartition + per-partition
+    row_number + broadcast offsets + closed-form NTILE) must equal the
+    textbook ntile() window on (lang, round(ce,4), id) exactly — the
+    window is the semantics, the distributed path is the plan that
+    doesn't put a whole language in one task."""
+    from pyspark.sql import Window
+
+    from hllspark.curation import ccnet_buckets, lm_perplexity_scores
+
+    rows = []
+    for i in range(120):
+        lang = ["en", "de", "fr"][i % 3]
+        body = " ".join(
+            ["the cat sat on the mat"] * (1 + i % 4)
+            + [f"tok{(i * 7) % 23} tok{(i * 11) % 19}"]
+        )
+        rows.append((i, body, lang))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = ccnet_buckets(df, n_buckets=3, num_partitions=7)
+    got_rows = {r["doc_id"]: r for r in got.collect()}
+
+    scores = lm_perplexity_scores(df).join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.round("cross_entropy", 4), "doc_id"
+    )
+    exp = {
+        r["doc_id"]: r["b"]
+        for r in scores.withColumn("b", F.ntile(3).over(w)).collect()
+    }
+    assert len(got_rows) == 120
+    for did, r in got_rows.items():
+        assert r["bucket"] == exp[did], did
+        assert r["bucket_label"] == {1: "head", 2: "middle", 3: "tail"}[
+            exp[did]
+        ]
+
+
+def test_ccnet_buckets_sizes_and_edges(spark):
+    """Equal-count tiers (sizes differ by <=1 within a language), n < b
+    languages get one row per bucket, and n_buckets=1 labels all head."""
+    from hllspark.curation import ccnet_buckets
+
+    rows = [(i, f"w{i} x y z common words here", "en") for i in range(10)]
+    rows += [(100, "een twee drie", "nl"), (101, "vier vijf zes", "nl")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(df, n_buckets=4).collect()
+    en_sizes = {}
+    for r in out:
+        if r["lang"] == "en":
+            en_sizes[r["bucket"]] = en_sizes.get(r["bucket"], 0) + 1
+    # 10 rows into 4 buckets -> sizes 3,3,2,2
+    assert sorted(en_sizes.values(), reverse=True) == [3, 3, 2, 2]
+    nl = sorted(r["bucket"] for r in out if r["lang"] == "nl")
+    assert nl == [1, 2]  # n < b: one row per leading bucket (NTILE)
+    one = ccnet_buckets(df, n_buckets=1).collect()
+    assert {r["bucket_label"] for r in one} == {"head"}
