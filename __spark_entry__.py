@@ -1671,6 +1671,26 @@ def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training's distributed grain (round 5,
+    hllspark/bpe.py): word counts (the one corpus-sized aggregate) ->
+    adjacent char+</w> symbol-pair frequencies weighted by word
+    frequency — the statistics the first merge decision is made from.
+    Top 30 by (count desc, pair asc); the oracle recomputes the whole
+    grain from substrings in SQL.  The iterative merge loop itself is
+    driver-side over the type table and pytest-gated against the
+    hand-computed Sennrich sequence (test_bpe.py)."""
+    from hllspark import bpe
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    wc = bpe.word_counts(docs)
+    return (
+        bpe.symbol_pair_counts(wc)
+        .orderBy(F.desc("count"), "s1", "s2")
+        .limit(30)
+    )
+
+
 def _q_ccnet_bucket_docs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style per-language perplexity tiers (round 5,
     curation.ccnet_buckets): every document bucketed head/middle/tail by
@@ -2299,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample_docs": _q_temperature_sample_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "ccnet_bucket_docs": _q_ccnet_bucket_docs,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
@@ -2932,6 +2953,21 @@ def oracle_sql() -> dict[str, str]:
             "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
             "  AS cross_entropy "
             "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
+        ),
+        "bpe_pair_counts": (
+            "WITH base AS (SELECT list_filter(regexp_split_to_array("
+            "  lower(text), '\\s+'), x -> x <> '') AS ws "
+            "  FROM documents WHERE doc_id < 200), "
+            "w AS (SELECT ws[i] AS word FROM base, "
+            "  unnest(generate_series(1, len(ws))) t(i)), "
+            "wc AS (SELECT word, count(*) AS c, length(word) AS L "
+            "  FROM w GROUP BY word), "
+            "p AS (SELECT substring(word, CAST(i AS INT), 1) AS s1, "
+            "  CASE WHEN i < L THEN substring(word, CAST(i + 1 AS INT), 1) "
+            "  ELSE '</w>' END AS s2, c "
+            "  FROM wc, unnest(generate_series(1, L)) t(i)) "
+            "SELECT s1, s2, CAST(sum(c) AS BIGINT) AS count FROM p "
+            "GROUP BY s1, s2 ORDER BY count DESC, s1, s2 LIMIT 30"
         ),
         "ccnet_bucket_docs": (
             "WITH base AS (SELECT doc_id, lang, list_filter("
