@@ -160,6 +160,23 @@ def main() -> None:
     )
     n_pages_100k = pages_100k.count()
 
+    # WARC ingest corpus (q23): 64k records / 32 files (half plain, half
+    # per-record-gzip), ~1 KB bodies — synthesized ONCE, untimed, like the
+    # pages parquet; the timed query is the read: one task per file
+    # (binaryFile = the Common-Crawl work granularity), streaming record
+    # walk, HTTP split, then a count+bytes reduction
+    from hllspark import warc as hwarc
+
+    warc_dir = "/tmp/hllspark_bench_warc_64k"
+    if not os.path.exists(warc_dir) or len(os.listdir(warc_dir)) != 32:
+        import shutil
+
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        hwarc.synthesize_warc_files(
+            warc_dir, 64_000, records_per_file=2_000, body_scale=30
+        )
+    n_warc_records = 64_000
+
     # planted-skew corpus for q9: one document duplicated 2000x
     one_text = documents.where(F.col("doc_id") == 0).first()["text"]
     poisoned_docs = (
@@ -380,6 +397,13 @@ def main() -> None:
         )
         .agg(F.sum(F.col("kept").cast("int")))
         .collect(),
+        # WARC ingest (round 5): parse 64k records from 32 mixed
+        # plain/record-gzip files — file listing, gzip-member walk, header
+        # parse, Content-Length slicing, HTTP split, reduced to one row so
+        # the reader is measured, not a collect of 64k payloads
+        "q23_warc_parse_64k": lambda: hwarc.read_warc(spark, warc_dir)
+        .agg(F.count(F.lit(1)), F.sum(F.length("payload")))
+        .collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -456,6 +480,9 @@ def main() -> None:
         ),
         "semantic_dedup_vecs_per_sec": round(
             100_000 / results["q22_semantic_dedup_100k"]
+        ),
+        "warc_records_per_sec": round(
+            n_warc_records / results["q23_warc_parse_64k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]

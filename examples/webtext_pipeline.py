@@ -261,6 +261,34 @@ def main() -> int:
     nb_mean = nb_scored.agg(F.avg("score")).collect()[0][0]
     assert nb_mean is not None and 0.0 < nb_mean < 1.0
 
+    # 4i. late round-5 ops: WARC ingest (the raw-crawl source for this
+    # very pages shape), CCNet per-language perplexity tiers on the
+    # balanced shard (keep head+middle = the CCNet recipe), and a BPE
+    # tokenizer trained on the kept corpus then applied to a sample
+    from hllspark import bpe as hbpe, warc as hwarc
+
+    with tempfile.TemporaryDirectory() as wdir:
+        hwarc.synthesize_warc_files(wdir, 64, records_per_file=16)
+        warc_pages = hwarc.warc_to_pages(hwarc.read_warc(spark, wdir))
+        n_warc = warc_pages.count()
+        assert n_warc == 64
+        assert [f.name for f in warc_pages.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+    tiers = curation.ccnet_buckets(
+        balanced.withColumn("did", F.xxhash64("url")),
+        id_col="did", n_buckets=3, num_partitions=8,
+    )
+    ccnet_kept = tiers.where(F.col("bucket_label") != "tail")
+    n_ccnet_kept, n_tiered = ccnet_kept.count(), tiers.count()
+    assert 0 < n_ccnet_kept < n_tiered or n_tiered <= 2
+    merges = hbpe.train_bpe(kept.limit(2000), num_merges=64)
+    enc = hbpe.bpe_encode(
+        balanced.limit(200).select("url", "text"), merges
+    )
+    bpe_tokens = enc.agg(F.sum(F.size("bpe_tokens"))).collect()[0][0] or 0
+    assert bpe_tokens > 0
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -293,6 +321,10 @@ def main() -> int:
         "boilerplate_lines_dropped": boiler_dropped,
         "train_chunks_2048": pack_stats["n_chunks"],
         "pq_self_top1": pq_self_top1,
+        "warc_pages_ingested": n_warc,
+        "ccnet_head_middle_kept": n_ccnet_kept,
+        "bpe_merges": len(merges),
+        "bpe_tokens_sample": int(bpe_tokens),
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary, default=str))

@@ -173,18 +173,52 @@ def train_bpe(
     return merges
 
 
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lowercase: bool = True,
+    unk_token: str = "<unk>",
+) -> dict[str, int]:
+    """Deterministic token -> id table for a trained merge list:
+    ``<unk>`` is id 0, then every base character seen in the corpus
+    (sorted; a BOUNDED distinct — the charset, not the vocabulary),
+    then ``</w>``, then each merge output in merge order (first
+    occurrence wins when two merge paths produce the same string)."""
+    chars = [
+        r["c"]
+        for r in word_counts(df, text_col, lowercase)
+        .select(F.explode(F.split("word", "")).alias("c"))
+        .distinct()
+        .orderBy("c")
+        .collect()
+    ]
+    vocab: dict[str, int] = {unk_token: 0}
+    for s in chars + [EOW] + [a + b for a, b in merges]:
+        if s not in vocab:
+            vocab[s] = len(vocab)
+    return vocab
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     lowercase: bool = True,
+    vocab: dict[str, int] | None = None,
+    ids_col: str = "bpe_ids",
 ) -> DataFrame:
     """df + ``out_col`` array<string>: the BPE segmentation of every
     word, concatenated in document order.  Arrow-batched; a per-worker
     word->tokens memo makes repeated words (all of web text) a dict
     hit.  Decode invariant: ``concat(tokens)`` with ``</w>`` replaced
-    by spaces reconstructs the tokenized text exactly."""
+    by spaces reconstructs the tokenized text exactly.
+
+    With ``vocab`` (see :func:`bpe_vocab`) an ``ids_col``
+    array<int> is added too — out-of-vocabulary symbols map to the
+    ``<unk>`` id 0 (only possible for characters unseen at vocab-build
+    time; trained merges are in the vocab by construction)."""
     mlist = [tuple(m) for m in merges]
     memo: dict[str, list[str]] = {}
 
@@ -193,6 +227,8 @@ def bpe_encode(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     out_schema = f"{schema}, {out_col} array<string>"
+    if vocab is not None:
+        out_schema += f", {ids_col} array<int>"
 
     def run(batches):
         for pdf in batches:
@@ -212,9 +248,14 @@ def bpe_encode(
                 toks.append(out)
             pdf = pdf.copy()
             pdf[out_col] = toks
+            if vocab is not None:
+                pdf[ids_col] = [
+                    [vocab.get(s, 0) for s in ts] for ts in toks
+                ]
             yield pdf
 
-    return df.mapInPandas(run, out_schema).select(*cols, out_col)
+    keep = [*cols, out_col] + ([ids_col] if vocab is not None else [])
+    return df.mapInPandas(run, out_schema).select(*keep)
 
 
 def bpe_decode_tokens(tokens: list[str]) -> str:

@@ -102,6 +102,7 @@ def synthesize_warc_files(
     records_per_file: int = 16,
     gzip_every_other_file: bool = True,
     start_minute: str = "2024-06-01T00:00:00Z",
+    body_scale: int = 1,
 ) -> list[str]:
     """Writes deterministic WARC fixture files — record ``i`` is a pure
     closed-form function of ``i`` (formulas mirrored by the
@@ -115,6 +116,9 @@ def synthesize_warc_files(
     Files alternate plain ``.warc`` / per-record-gzip ``.warc.gz`` so a
     single read exercises both code paths.  Driver-side writer: fixtures
     are small; production WARCs already exist on storage.
+
+    ``body_scale`` multiplies the body length (bench-sized payloads);
+    the contract oracle's formulas assume the default 1.
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
@@ -126,7 +130,7 @@ def synthesize_warc_files(
             minute = i
             hh, mm = divmod(minute, 60)
             date = f"2024-06-01T{hh:02d}:{mm:02d}:00Z"
-            body_len = 10 + (i * 7) % 50
+            body_len = (10 + (i * 7) % 50) * body_scale
             body = chr(97 + i % 26).encode("ascii") * body_len
             rec = format_warc_record(
                 target_uri=f"https://w{i % 7}.example.com/p{i}",
@@ -250,39 +254,42 @@ def read_warc(
     """
 
     files = spark.read.format("binaryFile").load(path)
+    colnames = [f.split(" ")[0] for f in _RECORD_SCHEMA.split(", ")]
 
     def run(batches):
+        cols: list[list] = [[] for _ in colnames]
+
+        def flush():
+            return pd.DataFrame(dict(zip(colnames, cols)))
+
         for pdf in batches:
             for fname, content in zip(pdf["path"], pdf["content"]):
-                rows = []
+                base = os.path.basename(str(fname))
                 for idx, (headers, payload) in enumerate(
                     _iter_records(str(fname), bytes(content))
                 ):
                     status = None
-                    if parse_http and headers.get("content-type", "").startswith(
-                        "application/http"
-                    ):
+                    if parse_http and headers.get(
+                        "content-type", ""
+                    ).startswith("application/http"):
                         status, payload = _split_http(payload)
-                    rows.append(
-                        {
-                            "warc_file": os.path.basename(str(fname)),
-                            "record_index": idx,
-                            "warc_type": headers.get("warc-type"),
-                            "target_uri": headers.get("warc-target-uri"),
-                            "warc_date": headers.get("warc-date"),
-                            "content_type": headers.get("content-type"),
-                            "content_length": int(
-                                headers.get("content-length", "0")
-                            ),
-                            "http_status": status,
-                            "payload": payload,
-                        }
-                    )
-                    if len(rows) >= batch_records:
-                        yield pd.DataFrame(rows)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows)
+                    # columnar append (no per-row dict): the reader is
+                    # per-record Python by necessity, so keep that loop
+                    # to list.append calls
+                    cols[0].append(base)
+                    cols[1].append(idx)
+                    cols[2].append(headers.get("warc-type"))
+                    cols[3].append(headers.get("warc-target-uri"))
+                    cols[4].append(headers.get("warc-date"))
+                    cols[5].append(headers.get("content-type"))
+                    cols[6].append(int(headers.get("content-length", "0")))
+                    cols[7].append(status)
+                    cols[8].append(payload)
+                    if len(cols[0]) >= batch_records:
+                        yield flush()
+                        cols = [[] for _ in colnames]
+        if cols[0]:
+            yield flush()
 
     return files.select("path", "content").mapInPandas(run, _RECORD_SCHEMA)
 

@@ -93,3 +93,25 @@ def test_training_segmentation_matches_encode(spark):
     for w in ["low", "lower", "newest", "widest"]:
         expect.extend(bpe._word_symbols(w, merges))
     assert toks == expect
+
+
+def test_bpe_vocab_and_ids(spark):
+    merges = bpe.train_bpe(_corpus(spark), num_merges=6)
+    vocab = bpe.bpe_vocab(_corpus(spark), merges)
+    assert vocab["<unk>"] == 0
+    # base chars sorted and contiguous after <unk>
+    chars = sorted(set("lowernewstid"))
+    assert [vocab[c] for c in chars] == list(range(1, len(chars) + 1))
+    assert vocab[bpe.EOW] == len(chars) + 1
+    # merge outputs in merge order after the base symbols
+    assert vocab["es"] == len(chars) + 2
+    df = spark.createDataFrame(
+        [(1, "newest zebra")], "doc_id int, text string"
+    )
+    row = bpe.bpe_encode(df, merges, vocab=vocab).first()
+    assert len(row["bpe_ids"]) == len(row["bpe_tokens"])
+    for tok, tid in zip(row["bpe_tokens"], row["bpe_ids"]):
+        if all(c in vocab for c in tok) and tok in vocab:
+            assert vocab[tok] == tid
+    # 'z', 'b', 'a' are unseen in the training corpus -> <unk> id 0
+    assert 0 in row["bpe_ids"]

@@ -13,7 +13,7 @@ def test_example_pipeline_runs():
         [sys.executable, "examples/webtext_pipeline.py", "10000"],
         capture_output=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=600,
+        timeout=900,  # headroom for this VM's documented ~3x host swings
     )
     assert proc.returncode == 0, proc.stderr.decode()[-2000:]
     summary = json.loads(proc.stdout.decode().strip().splitlines()[-1])
