@@ -294,6 +294,75 @@ def read_warc(
     return files.select("path", "content").mapInPandas(run, _RECORD_SCHEMA)
 
 
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    gzip_records: bool = True,
+    http_wrap: bool = True,
+) -> DataFrame:
+    """Exports a pages-shaped DataFrame as WARC shards — ONE file per
+    partition (``part-NNNNN.warc[.gz]``), records streamed to disk as
+    batches arrive so worker memory stays bounded by an Arrow batch.
+    Returns (warc_file, n_records) — one row per written shard; the
+    action that runs the export is whatever the caller does with that
+    tiny frame.
+
+    Round-trip invariant (pytest-gated): ``read_warc`` over the output
+    reproduces (url, warc_ts, payload bytes) exactly — with
+    ``http_wrap`` the payload rides a minimal HTTP/1.1 200 envelope the
+    reader strips back off, matching the Common-Crawl response-record
+    shape.  ``gzip_records`` writes one gzip member per record (the CC
+    convention that keeps files record-streamable).
+
+    Cluster note: workers write through ordinary ``open()`` — point
+    ``out_dir`` at storage every executor can reach (shared mount /
+    fuse-mounted object store); this sandbox is single-node so a local
+    path is exact.  Shard naming is by partition id, so re-running the
+    same frame overwrites deterministically.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if gzip_records else ".warc"
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        n = 0
+        f = None
+        try:
+            for pdf in batches:
+                if f is None:
+                    f = open(path, "wb")
+                for url, ts, payload in zip(
+                    pdf[url_col], pdf[ts_col], pdf[payload_col]
+                ):
+                    body = bytes(payload)
+                    if http_wrap:
+                        body = http_response_payload(body)
+                    rec = format_warc_record(
+                        target_uri=str(url),
+                        warc_date=ts.isoformat() + "Z",
+                        payload=body,
+                    )
+                    f.write(gzip.compress(rec) if gzip_records else rec)
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
+        if n:
+            yield pd.DataFrame(
+                {"warc_file": [os.path.basename(path)], "n_records": [n]}
+            )
+
+    return df.select(url_col, ts_col, payload_col).mapInPandas(
+        run, "warc_file string, n_records long"
+    )
+
+
 def warc_to_pages(records: DataFrame) -> DataFrame:
     """Maps parsed response records to the input_hint pages shape
     (url, warc_ts, html, text, lang) — pure codegen exprs: timestamp

@@ -90,3 +90,38 @@ def test_warc_one_task_per_file(spark, tmp_path):
     # work granularity the module docstring claims)
     assert df.select("warc_file").distinct().count() == 3
     assert df.count() == 30
+
+
+def test_write_warc_round_trip(spark, tmp_path):
+    from hllspark import io as hio
+
+    pages = hio.generate_pages(spark, 200, num_partitions=5)
+    out = str(tmp_path / "export")
+    shards = W.write_warc(pages, out).collect()
+    assert sum(r.n_records for r in shards) == 200
+    assert all(r.warc_file.endswith(".warc.gz") for r in shards)
+
+    back = W.read_warc(spark, out)
+    # duplicate urls carry distinct timestamps -> compare as multisets
+    expected = sorted(
+        (r.url, r.warc_ts.isoformat() + "Z", bytes(r.html))
+        for r in pages.select("url", "warc_ts", "html").collect()
+    )
+    got = back.collect()
+    assert all(r.http_status == 200 for r in got)
+    assert expected == sorted(
+        (r.target_uri, r.warc_date, bytes(r.payload)) for r in got
+    )
+
+
+def test_write_warc_plain_no_http(spark, tmp_path):
+    from hllspark import io as hio
+
+    pages = hio.generate_pages(spark, 30, num_partitions=2)
+    out = str(tmp_path / "plain")
+    W.write_warc(pages, out, gzip_records=False, http_wrap=False).collect()
+    back = W.read_warc(spark, out)
+    assert back.count() == 30
+    r = back.first()
+    assert r.http_status is None
+    assert bytes(r.payload).startswith(b"<html><body>")
