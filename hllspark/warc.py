@@ -254,6 +254,45 @@ def read_warc(
     """
 
     files = spark.read.format("binaryFile").load(path)
+    return _records_from_files(files, parse_http, batch_records)
+
+
+def warc_stream(
+    spark: SparkSession,
+    path: str,
+    parse_http: bool = True,
+    batch_records: int = 1024,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: new WARC files landing under
+    ``path`` become record micro-batches — the crawler-ingest shape.
+    Same parser, same output schema; composes with the curation-at-
+    ingest and index-dedup-at-ingest foreachBatch sinks unchanged
+    (streaming.py).  File-granularity checkpointing comes free from the
+    file-stream source (each file is processed exactly once per
+    checkpoint), matching the one-task-per-file batch design."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _records_from_files(reader.load(path), parse_http, batch_records)
+
+
+def _records_from_files(
+    files: DataFrame, parse_http: bool, batch_records: int
+) -> DataFrame:
     colnames = [f.split(" ")[0] for f in _RECORD_SCHEMA.split(", ")]
 
     def run(batches):

@@ -125,3 +125,28 @@ def test_write_warc_plain_no_http(spark, tmp_path):
     r = back.first()
     assert r.http_status is None
     assert bytes(r.payload).startswith(b"<html><body>")
+
+
+def test_warc_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest: files become record micro-batches; after the
+    availableNow drain the streamed record set equals the batch read."""
+    src = str(tmp_path / "stream_src")
+    W.synthesize_warc_files(src, 48, records_per_file=16)
+    stream = W.warc_stream(spark, src, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.target_uri, r.warc_date, bytes(r.payload))
+        for r in spark.sql("SELECT * FROM warc_stream_test").collect()
+    )
+    exp = sorted(
+        (r.target_uri, r.warc_date, bytes(r.payload))
+        for r in W.read_warc(spark, src).collect()
+    )
+    assert got == exp and len(got) == 48
