@@ -1671,6 +1671,36 @@ def _q_lm_perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_crawl_seen_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted Bloom seen-set (round 5, hllspark/crawl.py): ingest
+    batch 1 (docs < 150) into a fresh frontier state, then ingest an
+    overlapping batch 2 (docs 100-249) — the survivors must be exactly
+    batch 2's urls that batch 1 never committed (the oracle states it
+    as an anti-join).  Deterministic: the Bloom is sized at fpp=1e-6
+    for 10k keys and probing is pure fixed hashing, so the no-FP
+    outcome is a property of the bytes, not luck."""
+    import hashlib
+    import shutil
+
+    from hllspark.crawl import BloomSeenSet
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    state = "/tmp/hllspark_seen_" + hashlib.sha1(sf.encode()).hexdigest()[:10]
+    shutil.rmtree(state, ignore_errors=True)
+    s = BloomSeenSet.create(state, n_expected=10_000, fpp=1e-6)
+    s.ingest(docs.where(F.col("doc_id") < 150))
+    unseen = s.ingest(
+        docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 250))
+    )
+    return unseen.select("doc_id", "url").orderBy("doc_id")
+
+
 def _q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training's distributed grain (round 5,
     hllspark/bpe.py): word counts (the one corpus-sized aggregate) ->
@@ -2320,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "ccnet_bucket_docs": _q_ccnet_bucket_docs,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "crawl_seen_filter": _q_crawl_seen_filter,
         "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
@@ -2953,6 +2984,16 @@ def oracle_sql() -> dict[str, str]:
             "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
             "  AS cross_entropy "
             "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
+        ),
+        "crawl_seen_filter": (
+            "WITH u AS (SELECT doc_id, 'https://' || source || "
+            "  '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url "
+            "  FROM documents) "
+            "SELECT b2.doc_id, b2.url FROM u b2 "
+            "WHERE b2.doc_id >= 100 AND b2.doc_id < 250 "
+            "AND NOT EXISTS (SELECT 1 FROM u b1 "
+            "  WHERE b1.doc_id < 150 AND b1.url = b2.url) "
+            "ORDER BY b2.doc_id"
         ),
         "bpe_pair_counts": (
             "WITH base AS (SELECT list_filter(regexp_split_to_array("

@@ -1,0 +1,134 @@
+"""Incremental crawl-frontier dedup: a persisted Bloom "seen set".
+
+A crawler ingesting WARC batches needs "have I fetched/kept this URL
+before?" across ALL prior batches without ever re-scanning them.  The
+classic answer (Heritrix, Nutch, every frontier since the Bloom paper)
+is a persisted Bloom filter: O(1) probe, no false negatives — a seen
+URL is NEVER re-admitted — and a sized false-positive rate, where an FP
+means a genuinely-new URL is dropped (the crawler trade: at fpp=1e-3,
+one lost URL per thousand, against a seen-set that fits in memory at
+billions of URLs — 10^9 keys at 1e-3 is ~1.7 GB of bitmap).
+
+Execution model:
+- ``filter_unseen`` broadcasts the bitmap once per executor and probes
+  with the vectorized Arrow pass of :func:`hllspark.joins.bloom_prune`
+  — the batch is never shuffled or collected.
+- ``add`` builds the batch's partial bitmaps map-side (one m/8-byte row
+  per partition crosses the wire, independent of batch size) and
+  OR-merges into the state file via write-temp + ``os.replace`` —
+  atomic on POSIX, so a crashed commit leaves the previous state and a
+  retry is safe (OR is idempotent).
+- ``ingest`` = dropDuplicates(key) -> filter_unseen ->
+  localCheckpoint (the SAME rows are both returned and committed) ->
+  add.  Three sequential ingests produce exactly the survivor set of a
+  one-shot cross-batch distinct (pytest-gated), modulo sized FPs.
+
+Single-writer semantics, like the LSH index sidecar: one ingest job at
+a time owns the state dir (crawl frontiers are naturally single-owner).
+Composes with :func:`hllspark.warc.warc_stream` in a foreachBatch sink
+for the full crawler loop: WARC files -> records -> pages -> unseen
+pages -> downstream curation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .sketches import bloom
+
+_STATE = "seen_bloom.bin"
+
+
+class BloomSeenSet:
+    """Persisted Bloom seen-set over a key column (typically url)."""
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+        self.path = os.path.join(state_dir, _STATE)
+        if not os.path.exists(self.path):
+            raise FileNotFoundError(
+                f"no seen-set at {state_dir}; call BloomSeenSet.create"
+            )
+
+    @staticmethod
+    def create(
+        state_dir: str, n_expected: int, fpp: float = 1e-3
+    ) -> "BloomSeenSet":
+        """New empty seen-set sized for ``n_expected`` total keys over
+        the crawl's LIFETIME at false-positive rate ``fpp`` (capacity is
+        fixed at creation — Bloom bitmaps don't grow; size for the
+        crawl, not the batch)."""
+        if os.path.exists(os.path.join(state_dir, _STATE)):
+            raise FileExistsError(f"seen-set already exists in {state_dir}")
+        m_bits, k = bloom.params_for(n_expected, fpp)
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = os.path.join(state_dir, _STATE + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(bloom.encode(bloom.zero(m_bits), k))
+        os.replace(tmp, os.path.join(state_dir, _STATE))
+        return BloomSeenSet(state_dir)
+
+    def _load(self):
+        with open(self.path, "rb") as f:
+            return bloom.decode(f.read())
+
+    def fill_ratio(self) -> float:
+        bits, _ = self._load()
+        return bloom.fill_ratio(bits)
+
+    def filter_unseen(self, df: DataFrame, key_col: str = "url") -> DataFrame:
+        """Rows whose key has NEVER been committed (no false negatives;
+        a sized-fpp fraction of new keys is wrongly dropped).  Broadcast
+        bitmap probe; the batch is not shuffled."""
+        bits, k = self._load()
+        payload = bloom.encode(bits, k)
+        from .sketches.bloom import might_contain
+
+        sc = df.sparkSession.sparkContext
+        b = sc.broadcast(payload)
+
+        @F.pandas_udf("boolean")
+        def _unseen(keys: pd.Series) -> pd.Series:
+            bb, kk = bloom.decode(b.value)
+            return pd.Series(~might_contain(bb, keys, kk))
+
+        return df.where(F.col(key_col).isNotNull()).where(
+            _unseen(F.col(key_col))
+        )
+
+    def add(self, df: DataFrame, key_col: str = "url") -> None:
+        """OR-merges the batch's keys into the state — distributed
+        partial bitmaps, one m/8-byte row per partition; atomic
+        replace."""
+        bits, k = self._load()
+        from .sketches.generic import sketch_agg
+
+        row = sketch_agg(
+            df.where(F.col(key_col).isNotNull()),
+            key_col,
+            bloom.kind(bits.shape[0] * 8, k),
+        ).first()
+        if row is not None and row["sketch"] is not None:
+            batch_bits, _ = bloom.decode(bytes(row["sketch"]))
+            bits = bloom.merge(bits, batch_bits)
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bloom.encode(bits, k))
+        os.replace(tmp, self.path)
+
+    def ingest(self, df: DataFrame, key_col: str = "url") -> DataFrame:
+        """Filter-then-commit: returns the batch's never-seen rows
+        (within-batch duplicates collapsed keep-one) and marks exactly
+        those keys seen.  localCheckpoint pins the survivor set so the
+        returned frame and the committed keys are the SAME rows even
+        though the plan is lazy."""
+        batch = df.dropDuplicates([key_col])
+        unseen = self.filter_unseen(batch, key_col).localCheckpoint(
+            eager=True
+        )
+        self.add(unseen, key_col)
+        return unseen

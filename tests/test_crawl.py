@@ -1,0 +1,88 @@
+"""Persisted Bloom seen-set (hllspark/crawl.py): sequential ingest ==
+one-shot cross-batch distinct, re-ingest idempotence, atomic state,
+and the warc_stream composition."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from hllspark.crawl import BloomSeenSet
+
+
+def _urls(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.com/p"), F.col("id").cast("string")).alias("url"),
+        F.col("id"),
+    )
+
+
+def test_sequential_ingest_equals_one_shot(spark, tmp_path):
+    state = str(tmp_path / "seen")
+    s = BloomSeenSet.create(state, n_expected=10_000, fpp=1e-6)
+    # batches overlap: [0,150) [100,250) [200,400) + within-batch dups
+    b1 = _urls(spark, 0, 150)
+    b2 = _urls(spark, 100, 250).unionByName(_urls(spark, 120, 130))
+    b3 = _urls(spark, 200, 400)
+    got = []
+    for b in (b1, b2, b3):
+        got.extend(r["id"] for r in s.ingest(b).collect())
+    assert sorted(got) == list(range(400))  # every id exactly once
+    # 400 keys x ~20 hashes (fpp=1e-6) over ~287k bits -> ~2.8% fill
+    assert 0.0 < s.fill_ratio() < 0.05
+
+
+def test_reingest_returns_nothing(spark, tmp_path):
+    state = str(tmp_path / "seen")
+    s = BloomSeenSet.create(state, n_expected=1_000, fpp=1e-6)
+    assert s.ingest(_urls(spark, 0, 50)).count() == 50
+    assert s.ingest(_urls(spark, 0, 50)).count() == 0
+
+
+def test_create_refuses_overwrite_and_empty_add_keeps_state(spark, tmp_path):
+    import pytest
+
+    state = str(tmp_path / "seen")
+    s = BloomSeenSet.create(state, n_expected=100, fpp=1e-3)
+    with pytest.raises(FileExistsError):
+        BloomSeenSet.create(state, n_expected=100)
+    before = open(s.path, "rb").read()
+    s.add(_urls(spark, 0, 0))  # empty batch
+    assert open(s.path, "rb").read() == before
+    assert not os.path.exists(s.path + ".tmp")
+
+
+def test_crawler_loop_with_warc_stream(spark, tmp_path):
+    """The full crawler-ingest composition: WARC files -> streaming
+    records -> pages shape -> seen-set ingest per micro-batch; refetched
+    URLs in later files are dropped exactly once."""
+    from hllspark import warc as W
+
+    src = str(tmp_path / "warc_src")
+    # 32 records over 2 files; file 2 re-fetches file 1's last 16 urls
+    W.synthesize_warc_files(src, 16, records_per_file=16,
+                            gzip_every_other_file=False)
+    # second file duplicates the first (same formulas => same urls)
+    import shutil
+
+    shutil.copy(os.path.join(src, "part-0000.warc"),
+                os.path.join(src, "part-0001.warc"))
+
+    s = BloomSeenSet.create(str(tmp_path / "seen"), n_expected=1_000,
+                            fpp=1e-6)
+    kept = []
+
+    def sink(batch_df, batch_id):
+        pages = W.warc_to_pages(batch_df)
+        kept.extend(r["url"] for r in s.ingest(pages, "url").collect())
+
+    q = (
+        W.warc_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(kept) == sorted(
+        f"https://w{i % 7}.example.com/p{i}" for i in range(16)
+    )
