@@ -1701,6 +1701,39 @@ def _q_crawl_seen_filter(spark: SparkSession, sf: str) -> DataFrame:
     return unseen.select("doc_id", "url").orderBy("doc_id")
 
 
+def _q_robots_filter_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt compliance filtering (round 5, hllspark/crawl.py):
+    every source host publishes 'User-agent: *; Disallow: /d/1;
+    Allow: /d/12' plus an otherbot-only Disallow-all group that must
+    NOT apply — so doc paths whose id starts with '1' are blocked
+    unless the id starts with '12' (the longer allow wins, RFC 9309
+    longest-match).  The oracle states the expected decision directly
+    from the path formula, independent of the parser."""
+    from hllspark.crawl import parse_robots, robots_filter
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = (
+        _t(spark, sf, "documents")
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("host"))
+        .distinct()
+        .withColumn(
+            "robots_txt",
+            F.lit(
+                "# policy\nUser-agent: *\nDisallow: /d/1\nAllow: /d/12\n"
+                "\nUser-agent: otherbot\nDisallow: /\n"
+            ),
+        )
+    )
+    rules = parse_robots(robots)
+    return robots_filter(docs, rules).orderBy("doc_id")
+
+
 def _q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training's distributed grain (round 5,
     hllspark/bpe.py): word counts (the one corpus-sized aggregate) ->
@@ -2327,6 +2360,8 @@ _HEAD = [
     "decontam_overlap",
     # multimodal
     "media_header_stats",
+    # sources (WARC ingest family, round 5)
+    "warc_read_stats",
 ]
 
 
@@ -2351,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bucket_docs": _q_ccnet_bucket_docs,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "crawl_seen_filter": _q_crawl_seen_filter,
+        "robots_filter_urls": _q_robots_filter_urls,
         "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
@@ -2984,6 +3020,13 @@ def oracle_sql() -> dict[str, str]:
             "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
             "  AS cross_entropy "
             "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
+        ),
+        "robots_filter_urls": (
+            "SELECT doc_id, 'https://' || source || '.example.com/d/' || "
+            "CAST(doc_id AS VARCHAR) AS url FROM documents "
+            "WHERE NOT (starts_with(CAST(doc_id AS VARCHAR), '1') "
+            "AND NOT starts_with(CAST(doc_id AS VARCHAR), '12')) "
+            "ORDER BY doc_id"
         ),
         "crawl_seen_filter": (
             "WITH u AS (SELECT doc_id, 'https://' || source || "

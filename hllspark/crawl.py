@@ -132,3 +132,102 @@ class BloomSeenSet:
         )
         self.add(unseen, key_col)
         return unseen
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance filtering (REP, RFC 9309)
+# ---------------------------------------------------------------------------
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, rule 'allow'|'disallow', prefix) from per-host robots.txt
+    text — the rule groups that apply to ``agent`` (exact token match)
+    or ``*``.  Group semantics per RFC 9309: consecutive User-agent
+    lines open a group; Allow/Disallow lines belong to the open group;
+    an empty Disallow value imposes no restriction (dropped here).
+    Robots documents are tiny and host-grain, so a per-row Python parse
+    is the honest cost model; the output is a RULES dim table, bounded
+    by hosts x rules, made to be broadcast."""
+
+    def run(batches):
+        for pdf in batches:
+            hosts, rules, prefixes = [], [], []
+            for host, txt in zip(pdf[host_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                group_agents: list[str] = []
+                group_open = False  # False = collecting agents
+                applies = False
+                for raw in str(txt).splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key, val = key.strip().lower(), val.strip()
+                    if key == "user-agent":
+                        if group_open:  # new group starts
+                            group_agents, group_open = [], False
+                        group_agents.append(val.lower())
+                    elif key in ("allow", "disallow"):
+                        group_open = True
+                        applies = agent.lower() in group_agents or "*" in group_agents
+                        if applies and val:
+                            hosts.append(host)
+                            rules.append(key)
+                            prefixes.append(val)
+            yield pd.DataFrame(
+                {"host": hosts, "rule": rules, "prefix": prefixes}
+            )
+
+    return robots.mapInPandas(run, "host string, rule string, prefix string")
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rows of ``pages`` whose url is ALLOWED under the per-host rules
+    (from :func:`parse_robots`) with RFC 9309 / Google REP matching:
+    the longest matching prefix decides; on a length tie allow wins; no
+    matching rule (or no rules for the host) means allowed.
+
+    Plan: rules collapse to ONE array<struct> row per host (a tiny agg
+    on the dim side), broadcast-join to pages on host, and the decision
+    is a single expression — filter matching prefixes, array_max on
+    (prefix_len, is_allow) structs, null-safe allow — so the page
+    corpus is never shuffled and no Python touches it."""
+    from .curation import url_host, url_path
+
+    per_host = F.broadcast(
+        rules.groupBy("host").agg(
+            F.collect_list(
+                F.struct(
+                    F.col("prefix"),
+                    (F.col("rule") == "allow").alias("is_allow"),
+                )
+            ).alias("__rules")
+        )
+    )
+    path = url_path(F.col(url_col))
+    withr = pages.withColumn("__host", url_host(F.col(url_col))).join(
+        per_host.withColumnRenamed("host", "__host"), "__host", "left"
+    )
+    matching = F.filter(
+        F.col("__rules"), lambda r: path.startswith(r["prefix"])
+    )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                r["is_allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    allowed = F.col("__rules").isNull() | best.isNull() | (best["a"] == 1)
+    return withr.where(allowed).drop("__host", "__rules")

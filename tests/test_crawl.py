@@ -86,3 +86,74 @@ def test_crawler_loop_with_warc_stream(spark, tmp_path):
     assert sorted(kept) == sorted(
         f"https://w{i % 7}.example.com/p{i}" for i in range(16)
     )
+
+
+# ------------------------------------------------------------- robots.txt
+
+
+def _robots_fixture(spark):
+    texts = {
+        "h1.example.com": (
+            "# crawl policy\n"
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "Allow: /private/pub\n"
+            "Disallow:\n"          # empty value -> no restriction
+            "\n"
+            "User-agent: otherbot\n"
+            "Disallow: /\n"        # other agent's group: ignored for *
+        ),
+        "h2.example.com": (
+            "User-agent: googly\n"
+            "User-agent: *\n"      # consecutive agents share the group
+            "Disallow: /\n"
+            "Allow: /ok\n"
+        ),
+        "h4.example.com": (
+            "User-agent: *\n"
+            "Allow: /a\n"
+            "Disallow: /a\n"       # equal length -> allow wins
+        ),
+    }
+    return spark.createDataFrame(
+        list(texts.items()), "host string, robots_txt string"
+    )
+
+
+def test_parse_robots_groups_and_empty_values(spark):
+    from hllspark.crawl import parse_robots
+
+    rules = {
+        (r.host, r.rule, r.prefix)
+        for r in parse_robots(_robots_fixture(spark)).collect()
+    }
+    assert ("h1.example.com", "disallow", "/private") in rules
+    assert ("h1.example.com", "allow", "/private/pub") in rules
+    # otherbot's group must not leak into the * rules
+    assert ("h1.example.com", "disallow", "/") not in rules
+    assert ("h2.example.com", "disallow", "/") in rules
+    assert ("h2.example.com", "allow", "/ok") in rules
+    # agent-specific parse picks up the dedicated group
+    other = parse_robots(_robots_fixture(spark), agent="otherbot").collect()
+    assert ("h1.example.com", "disallow", "/") in {
+        (r.host, r.rule, r.prefix) for r in other
+    }
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from hllspark.crawl import parse_robots, robots_filter
+
+    rules = parse_robots(_robots_fixture(spark))
+    urls = [
+        ("https://h1.example.com/private/x", False),   # /private
+        ("https://h1.example.com/private/pub/y", True),  # deeper allow
+        ("https://h1.example.com/other", True),        # no match
+        ("https://h2.example.com/anything", False),    # root disallow
+        ("https://h2.example.com/ok/page", True),      # allow overrides
+        ("https://h3.example.com/z", True),            # host without rules
+        ("https://h4.example.com/a/z", True),          # tie -> allow
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    kept = {r.url for r in robots_filter(pages, rules).collect()}
+    for u, expect in urls:
+        assert (u in kept) == expect, u
