@@ -267,6 +267,8 @@ def main() -> int:
     # tokenizer trained on the kept corpus then applied to a sample
     from hllspark import bpe as hbpe, warc as hwarc
 
+    from hllspark import crawl
+
     with tempfile.TemporaryDirectory() as wdir:
         hwarc.synthesize_warc_files(wdir, 64, records_per_file=16)
         warc_pages = hwarc.warc_to_pages(hwarc.read_warc(spark, wdir))
@@ -275,6 +277,25 @@ def main() -> int:
         assert [f.name for f in warc_pages.schema.fields] == [
             "url", "warc_ts", "html", "text", "lang",
         ]
+        # robots compliance: w1.example.com forbids /p1* — of its ids
+        # (i % 7 == 1) the paths /p1 and /p15 match, so 2 of 64 drop
+        robots = spark.createDataFrame(
+            [("w1.example.com", "User-agent: *\nDisallow: /p1\n")],
+            "host string, robots_txt string",
+        )
+        allowed = crawl.robots_filter(
+            warc_pages, crawl.parse_robots(robots)
+        )
+        n_robots_kept = allowed.count()
+        assert n_robots_kept < n_warc
+        # frontier seen-set: first ingest admits every allowed url,
+        # a refetch admits none
+        seen = crawl.BloomSeenSet.create(
+            os.path.join(wdir, "seen"), n_expected=10_000, fpp=1e-6
+        )
+        n_first = seen.ingest(allowed, "url").count()
+        assert n_first == n_robots_kept
+        assert seen.ingest(allowed, "url").count() == 0
     tiers = curation.ccnet_buckets(
         balanced.withColumn("did", F.xxhash64("url")),
         id_col="did", n_buckets=3, num_partitions=8,
@@ -322,6 +343,7 @@ def main() -> int:
         "train_chunks_2048": pack_stats["n_chunks"],
         "pq_self_top1": pq_self_top1,
         "warc_pages_ingested": n_warc,
+        "robots_allowed": n_robots_kept,
         "ccnet_head_middle_kept": n_ccnet_kept,
         "bpe_merges": len(merges),
         "bpe_tokens_sample": int(bpe_tokens),
