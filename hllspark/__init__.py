@@ -16,12 +16,17 @@ Layering:
     sketches   — count-min, Bloom, KLL, t-digest mergeable aggregates
     streaming  — Structured Streaming sketch maintenance
     io         — pages fixture, snapshot/resume, reference wire formats
+    warc       — Common-Crawl WARC ingest (batch + streaming) and export
+    crawl      — frontier seen-set (persisted Bloom) + robots compliance
+    bpe        — BPE tokenizer training/encoding over the word-type table
     dedup / similarity / text / multimodal — training-data operators
     session    — Spark configs for local dev through cluster runs
 """
 
 from . import (
     agg,
+    bpe,
+    crawl,
     curation,
     decontam,
     dedup,
@@ -42,10 +47,13 @@ from . import (
     similarity,
     streaming,
     text,
+    warc,
 )
 
 __all__ = [
     "agg",
+    "bpe",
+    "crawl",
     "curation",
     "decontam",
     "dedup",
@@ -66,5 +74,6 @@ __all__ = [
     "similarity",
     "streaming",
     "text",
+    "warc",
 ]
 __version__ = "0.1.0"
