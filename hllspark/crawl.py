@@ -93,6 +93,8 @@ class BloomSeenSet:
 
         @F.pandas_udf("boolean")
         def _unseen(keys: pd.Series) -> pd.Series:
+            if len(keys) == 0:  # empty Arrow batches reach UDFs
+                return pd.Series([], dtype=bool)
             bb, kk = bloom.decode(b.value)
             return pd.Series(~might_contain(bb, keys, kk))
 
@@ -213,7 +215,10 @@ def robots_filter(
             ).alias("__rules")
         )
     )
-    path = url_path(F.col(url_col))
+    raw_path = url_path(F.col(url_col))
+    # RFC 9309 matches against the path, which is "/" when the URL has
+    # none ("https://h.example.com" must still hit a "Disallow: /")
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     withr = pages.withColumn("__host", url_host(F.col(url_col))).join(
         per_host.withColumnRenamed("host", "__host"), "__host", "left"
     )

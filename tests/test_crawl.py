@@ -157,3 +157,16 @@ def test_robots_filter_longest_match_semantics(spark):
     kept = {r.url for r in robots_filter(pages, rules).collect()}
     for u, expect in urls:
         assert (u in kept) == expect, u
+
+
+def test_robots_filter_bare_host_url(spark):
+    """A URL with no path matches rules as path '/' (RFC 9309)."""
+    from hllspark.crawl import parse_robots, robots_filter
+
+    rules = parse_robots(_robots_fixture(spark))
+    pages = spark.createDataFrame(
+        [("https://h2.example.com",), ("https://h1.example.com",)],
+        "url string",
+    )
+    kept = {r.url for r in robots_filter(pages, rules).collect()}
+    assert kept == {"https://h1.example.com"}  # h2 disallows /
