@@ -1701,6 +1701,28 @@ def _q_crawl_seen_filter(spark: SparkSession, sf: str) -> DataFrame:
     return unseen.select("doc_id", "url").orderBy("doc_id")
 
 
+def _q_nb_lang_id_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained char-bigram NB language ID (round 5, hllspark/text.py
+    nb_lang_weights / nb_lang_id — the fastText/CLD-style trained
+    upgrade of the marker-vote heuristic): model trained in-plan on
+    docs < 300 with their lang labels, docs 300-499 classified by exact
+    NB log-posterior argmax.  The oracle replicates EVERYTHING in SQL —
+    padding, gram extraction, the complete gram x lang Laplace matrix,
+    priors, the OOV floor term, and the (score desc, lang desc)
+    tie-break — so train AND score are both gated."""
+    from hllspark.text import nb_lang_id, nb_lang_weights
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    w, stats = nb_lang_weights(docs.where(F.col("doc_id") < 300), n=2)
+    test = docs.where(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 500)
+    ).select("doc_id", "text")
+    out = nb_lang_id(test, w, stats)
+    return out.select(
+        "doc_id", "lang", F.round("score", 4).alias("score")
+    ).orderBy("doc_id")
+
+
 def _q_robots_filter_urls(spark: SparkSession, sf: str) -> DataFrame:
     """robots.txt compliance filtering (round 5, hllspark/crawl.py):
     every source host publishes 'User-agent: *; Disallow: /d/1;
@@ -2387,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "crawl_seen_filter": _q_crawl_seen_filter,
         "robots_filter_urls": _q_robots_filter_urls,
+        "nb_lang_id_docs": _q_nb_lang_id_docs,
         "lm_perplexity_capped_docs": _q_lm_perplexity_capped_docs,
         "corpus_shuffle_order": _q_corpus_shuffle_order,
         "budget_select_docs": _q_budget_select_docs,
@@ -3020,6 +3043,48 @@ def oracle_sql() -> dict[str, str]:
             "  -(f.lp0 + coalesce(a.slp, 0)) / f.n_tokens ELSE 0.0 END, 4) "
             "  AS cross_entropy "
             "FROM fs f LEFT JOIN agg a USING (doc_id) ORDER BY f.doc_id"
+        ),
+        "nb_lang_id_docs": (
+            "WITH tr AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' "
+            "  AS t FROM documents WHERE doc_id < 300), "
+            "tg AS (SELECT lang, substring(t, CAST(i AS INT), 2) AS gram "
+            "  FROM tr, unnest(generate_series(1, length(t) - 1)) s(i)), "
+            "counts AS (SELECT gram, lang, count(*) AS c FROM tg "
+            "  GROUP BY 1, 2), "
+            "vocab AS (SELECT DISTINCT gram FROM counts), "
+            "langs AS (SELECT lang, count(*) AS n_docs FROM tr "
+            "  GROUP BY lang), "
+            "fm AS (SELECT v.gram, l.lang, coalesce(c.c, 0) AS c "
+            "  FROM vocab v CROSS JOIN (SELECT lang FROM langs) l "
+            "  LEFT JOIN counts c ON c.gram = v.gram AND c.lang = l.lang), "
+            "tot AS (SELECT lang, sum(c) AS n_lang FROM fm GROUP BY lang), "
+            "vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab), "
+            "wt AS (SELECT gram, f.lang, "
+            "  ln((f.c + 1.0) / (t.n_lang + vv.v)) AS w "
+            "  FROM fm f JOIN tot t USING (lang) CROSS JOIN vv), "
+            "ls AS (SELECT l.lang, "
+            "  ln(CAST(l.n_docs AS DOUBLE) / "
+            "    (SELECT sum(n_docs) FROM langs)) AS prior, "
+            "  ln(1.0 / (t.n_lang + vv.v)) AS oov "
+            "  FROM langs l JOIN tot t USING (lang) CROSS JOIN vv), "
+            "te AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t "
+            "  FROM documents WHERE doc_id >= 300 AND doc_id < 500), "
+            "teg AS (SELECT doc_id, substring(t, CAST(i AS INT), 2) AS gram "
+            "  FROM te, unnest(generate_series(1, length(t) - 1)) s(i)), "
+            "gt AS (SELECT doc_id, count(*) AS g FROM teg GROUP BY doc_id), "
+            "pl AS (SELECT doc_id, w.lang, sum(w.w) AS s, count(*) AS ci "
+            "  FROM teg JOIN wt w USING (gram) GROUP BY 1, 2), "
+            "sc AS (SELECT b.doc_id, l.lang, "
+            "  l.prior + coalesce(p.s, 0) "
+            "  + (coalesce(g.g, 0) - coalesce(p.ci, 0)) * l.oov AS score "
+            "  FROM (SELECT DISTINCT doc_id FROM te) b CROSS JOIN ls l "
+            "  LEFT JOIN pl p ON p.doc_id = b.doc_id AND p.lang = l.lang "
+            "  LEFT JOIN gt g ON g.doc_id = b.doc_id), "
+            "rk AS (SELECT doc_id, lang, score, row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn "
+            "  FROM sc) "
+            "SELECT doc_id, lang, round(score, 4) AS score FROM rk "
+            "WHERE rn = 1 ORDER BY doc_id"
         ),
         "robots_filter_urls": (
             "SELECT doc_id, 'https://' || source || '.example.com/d/' || "

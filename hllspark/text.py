@@ -357,3 +357,189 @@ def top_k_by(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# trained language ID (char-n-gram Naive Bayes, fastText/CLD-style)
+# ---------------------------------------------------------------------------
+
+def char_ngrams(text: Column, n: int = 2) -> Column:
+    """Char n-grams of the lowercased text, space-padded at both ends
+    (the fastText convention, so word-initial/final shapes are their
+    own features).  Pure expressions; null text -> null."""
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    count = F.greatest(F.length(t) - F.lit(n - 1), F.lit(0))
+    # sequence(1, 0) DESCENDS to [1, 0] in Spark — and a null text makes
+    # count null, which greatest() folds to 0 — so both cases must be
+    # guarded to an empty index array, and null text must stay null
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    return F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        grams
+    )
+
+
+def nb_lang_weights(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = 2,
+    smoothing: float = 1.0,
+    max_features: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Trains a multiclass char-n-gram Naive-Bayes language classifier
+    IN-PLAN (two aggregates, no gradient loop) — the trained upgrade of
+    the marker-vote :func:`lang_id` heuristic, the same model family as
+    CLD/fastText lang-id.
+
+    Returns (weights, lang_stats):
+      weights:    (gram, lang, weight) with weight = ln P(gram|lang)
+                  under Laplace ``smoothing`` — a COMPLETE gram x lang
+                  matrix (grams the lang never saw get the smoothed
+                  floor), which is what keeps broadcast-join scoring
+                  exact: every in-vocab gram contributes a defined
+                  weight for EVERY language.
+      lang_stats: (lang, prior, oov_weight) — ln class prior by doc
+                  count and the per-lang OOV/floor weight
+                  ln(a / (N_lang + a * V)).
+
+    ``max_features`` caps the vocabulary to the top-K grams by total
+    corpus frequency (ties lexicographic; exact TakeOrdered, no global
+    sort) BEFORE totals are computed, so the model is self-consistent
+    over its own capped vocabulary and both tables stay
+    broadcast-bounded (K x languages) for open-vocab web scale.
+
+    Plan: gram explode -> ONE map-side-combined groupBy(gram, lang) ->
+    optional top-K cap -> complete the matrix with a (grams x langs)
+    join against coalesce-0 counts -> tiny per-lang totals broadcast.
+    """
+    base = labeled.where(
+        F.col(lang_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    grams = base.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    counts = grams.groupBy("gram", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    if max_features is not None:
+        top = (
+            counts.groupBy("gram")
+            .agg(F.sum("c").alias("tot"))
+            .orderBy(F.desc("tot"), "gram")
+            .limit(int(max_features))
+            .select("gram")
+        )
+        counts = counts.join(F.broadcast(top), "gram")
+        vocab = top
+    else:
+        vocab = counts.select("gram").distinct()
+    langs = base.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # complete matrix: every vocab gram x every lang, count-coalesced
+    full = (
+        vocab.crossJoin(F.broadcast(langs.select("lang")))
+        .join(counts, ["gram", "lang"], "left")
+        .select("gram", "lang", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    totals = full.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    v = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    a = F.lit(float(smoothing))
+    weights = (
+        full.join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "gram",
+            "lang",
+            F.log(
+                (F.col("c") + a) / (F.col("n_lang") + a * F.col("v"))
+            ).alias("weight"),
+        )
+    )
+    total_docs = langs.agg(F.sum("n_docs").alias("t"))
+    lang_stats = (
+        langs.crossJoin(F.broadcast(total_docs))
+        .join(F.broadcast(totals), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            F.log(F.col("n_docs") / F.col("t")).alias("prior"),
+            F.log(a / (F.col("n_lang") + a * F.col("v"))).alias(
+                "oov_weight"
+            ),
+        )
+    )
+    return weights, lang_stats
+
+
+def nb_lang_id(
+    df: DataFrame,
+    weights: DataFrame,
+    lang_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """(id_col, lang, score): the argmax-language classification of each
+    document under the :func:`nb_lang_weights` model, with the exact NB
+    log-posterior as score.
+
+    score(d, l) = prior_l + sum_{g in d, g in vocab} weight(g, l)
+                + |{g in d, g not in vocab}| * oov_weight_l
+
+    Because the weight matrix is complete, the in-vocab gram count per
+    doc is language-independent, so the OOV term is (G - C) with one
+    G (total grams) and one C (in-vocab grams) per doc.  Plan: gram
+    explode -> broadcast weights join -> groupBy(id, lang) partial sums
+    -> groupBy(id) argmax via max(struct) — two doc-keyed map-side-
+    combined aggregates, no skewed keys, no Python.  Ties break toward
+    the lexicographically LAST language deterministically (max struct);
+    zero-gram docs score prior-only."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.coalesce(
+                char_ngrams(F.col(text_col), n),
+                F.array().cast("array<string>"),
+            )
+        ).alias("gram"),
+    )
+    totals = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("g_total"))
+    joined = grams.join(F.broadcast(weights), "gram")
+    per_lang = joined.groupBy("__id", "lang").agg(
+        F.sum("weight").alias("s"),
+        F.count(F.lit(1)).alias("c_invocab"),
+    )
+    base = df.select(F.col(id_col).alias("__id")).distinct()
+    # every doc x every lang so prior-only docs still classify
+    spine = base.crossJoin(
+        F.broadcast(lang_stats.select("lang", "prior", "oov_weight"))
+    )
+    scored = (
+        spine.join(per_lang, ["__id", "lang"], "left")
+        .join(totals, "__id", "left")
+        .select(
+            "__id",
+            "lang",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("s"), F.lit(0.0))
+                + (
+                    F.coalesce(F.col("g_total"), F.lit(0))
+                    - F.coalesce(F.col("c_invocab"), F.lit(0))
+                ) * F.col("oov_weight")
+            ).alias("score"),
+        )
+    )
+    best = scored.groupBy("__id").agg(
+        F.max(F.struct("score", "lang")).alias("b")
+    )
+    return best.select(
+        F.col("__id").alias(id_col),
+        F.col("b.lang").alias("lang"),
+        F.col("b.score").alias("score"),
+    )
