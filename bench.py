@@ -177,6 +177,20 @@ def main() -> None:
         )
     n_warc_records = 64_000
 
+    # trained lang-id model (q24): fit on a deterministic 1% slice (one
+    # gram x lang aggregate), weight/stat dims cached + materialized so
+    # the timed reps measure SCORING, not refitting
+    from hllspark.text import nb_lang_id, nb_lang_weights
+
+    langid_train = pages.where(
+        F.pmod(F.xxhash64("url"), F.lit(100)) == 1
+    ).select("text", "lang")
+    langid_w, langid_stats = nb_lang_weights(langid_train, n=2)
+    langid_w = langid_w.cache()
+    langid_stats = langid_stats.cache()
+    langid_w.count(), langid_stats.count()
+    pages_100k_ids = pages_100k.withColumn("rid", F.xxhash64("text"))
+
     # planted-skew corpus for q9: one document duplicated 2000x
     one_text = documents.where(F.col("doc_id") == 0).first()["text"]
     poisoned_docs = (
@@ -397,6 +411,18 @@ def main() -> None:
         )
         .agg(F.sum(F.col("kept").cast("int")))
         .collect(),
+        # trained NB lang-id (round 5): model fit once in setup (one-time
+        # cost per corpus, like the pages materialization); the timed path
+        # is the hot loop — 100k pages scored through the vectorized numpy
+        # kernel (impl='arrow': utf-32 codes -> packed keys -> searchsorted
+        # -> segment reduceat; 5x the explode path, PLANS §40)
+        "q24_nb_langid_100k": lambda: nb_lang_id(
+            pages_100k_ids, langid_w, langid_stats, id_col="rid",
+            impl="arrow",
+        )
+        .groupBy("lang")
+        .count()
+        .collect(),
         # WARC ingest (round 5): parse 64k records from 32 mixed
         # plain/record-gzip files — file listing, gzip-member walk, header
         # parse, Content-Length slicing, HTTP split, reduced to one row so
@@ -483,6 +509,9 @@ def main() -> None:
         ),
         "warc_records_per_sec": round(
             n_warc_records / results["q23_warc_parse_64k"]
+        ),
+        "langid_docs_per_sec": round(
+            n_pages_100k / results["q24_nb_langid_100k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]

