@@ -219,8 +219,14 @@ def bpe_encode(
     array<int> is added too — out-of-vocabulary symbols map to the
     ``<unk>`` id 0 (only possible for characters unseen at vocab-build
     time; trained merges are in the vocab by construction)."""
+    import re
+
     mlist = [tuple(m) for m in merges]
     memo: dict[str, list[str]] = {}
+    # EXACTLY words_col's Java \s class — Python str.split()/re \s are
+    # Unicode-aware and would segment NBSP-joined words the training
+    # word counts treated as one type (train/encode tokenizer skew)
+    ws = re.compile("[ \t\n\x0b\f\r]+")
 
     cols = df.columns
     schema = ", ".join(
@@ -239,7 +245,9 @@ def bpe_encode(
                     continue
                 t = text.lower() if lowercase else text
                 out: list[str] = []
-                for w in t.split():
+                for w in ws.split(t):
+                    if not w:
+                        continue
                     got = memo.get(w)
                     if got is None:
                         got = _word_symbols(w, mlist)

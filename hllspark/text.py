@@ -636,9 +636,7 @@ def _nb_lang_id_arrow(
             if len(ids) == 0:
                 continue
             s = pdf[text_col].fillna("")
-            padded = (" " + s.str.lower() + " ").where(s != "", "")
-            # null/"" -> "" here, but expr treats "" as the padded "  ":
-            # distinguish: only NULL maps to no grams
+            # only NULL maps to no grams; "" still pads to "  " like expr
             isnull = pdf[text_col].isna().to_numpy()
             padded = np.where(isnull, "", (" " + s.str.lower() + " "))
             lens = np.fromiter((len(x) for x in padded), dtype=np.int64,
@@ -667,14 +665,20 @@ def _nb_lang_id_arrow(
                 Wz = np.vstack([Wm, np.zeros((1, L))])
                 eff = np.where(hit, idx_c, len(vk))
                 contrib = Wz[eff]
-                gram_starts = np.minimum(starts, len(keys) - 1)
-                sums = np.add.reduceat(contrib, gram_starts, axis=0)
-                cnts = np.add.reduceat(hit.astype(np.int64), gram_starts)
-                # reduceat returns the ELEMENT for empty segments: zero
-                # out docs with no grams
-                empty = G == 0
-                sums[empty] = 0.0
-                cnts[empty] = 0
+                # reduceat ONLY over docs that have grams: clamping
+                # trailing zero-gram docs' starts into range would steal
+                # the final gram of the last real doc (and reduceat
+                # returns the ELEMENT, not 0, for empty segments).  For
+                # gram-bearing docs starts are strictly increasing and
+                # in range; zero-length docs between them contribute no
+                # codes, so segments stay exact.
+                sums = np.zeros((len(ids), L))
+                cnts = np.zeros(len(ids), dtype=np.int64)
+                nz = np.flatnonzero(G > 0)
+                if len(nz):
+                    gs = starts[nz]
+                    sums[nz] = np.add.reduceat(contrib, gs, axis=0)
+                    cnts[nz] = np.add.reduceat(hit.astype(np.int64), gs)
             else:
                 sums = np.zeros((len(ids), L))
                 cnts = np.zeros(len(ids), dtype=np.int64)

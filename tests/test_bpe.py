@@ -115,3 +115,17 @@ def test_bpe_vocab_and_ids(spark):
             assert vocab[tok] == tid
     # 'z', 'b', 'a' are unseen in the training corpus -> <unk> id 0
     assert 0 in row["bpe_ids"]
+
+
+def test_bpe_encode_matches_training_tokenizer_on_nbsp(spark):
+    """Unicode whitespace (NBSP) must NOT split words at encode time:
+    training counts words with words_col (Java \\s = ASCII whitespace
+    only), so 'foo\\u00a0bar' is ONE word type in the model and encode
+    must segment it as one word too."""
+    text = "foo bar foo bar"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    merges = bpe.train_bpe(df, num_merges=20)
+    toks = bpe.bpe_encode(df, merges).first()["bpe_tokens"]
+    # the fully-merged single type appears twice
+    assert toks == ["foo bar</w>", "foo bar</w>"]
+    assert bpe.bpe_decode_tokens(toks) == text.lower()

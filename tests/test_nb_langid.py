@@ -100,15 +100,19 @@ def test_nb_lang_id_arrow_matches_expr(spark):
             (15, "   "),
             (16, "zzz café über naïve"),
             (17, "the the the the"),
+            # TRAILING nulls in the batch: regression for the reduceat
+            # clamp bug that stole the preceding doc's final gram
+            (18, None),
+            (19, None),
         ],
         "doc_id long, text string",
-    )
+    ).coalesce(1)  # one batch, nulls guaranteed at the end
     e = {r["doc_id"]: r for r in nb_lang_id(test, w, stats).collect()}
     a = {
         r["doc_id"]: r
         for r in nb_lang_id(test, w, stats, impl="arrow").collect()
     }
-    assert set(e) == set(a) == set(range(10, 18))
+    assert set(e) == set(a) == set(range(10, 20))
     for k in e:
         assert e[k]["lang"] == a[k]["lang"], k
         assert abs(e[k]["score"] - a[k]["score"]) < 1e-9, k
