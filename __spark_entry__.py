@@ -146,6 +146,38 @@ def _q_hll_linear_counting_exact_small(spark: SparkSession, sf: str) -> DataFram
 # --- text / dedup / similarity operator queries ---------------------------
 
 
+def _q_html_extract_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Wrap each document's text in a deterministic HTML page template
+    (head/style/meta boilerplate, a multi-line comment, a script whose
+    body contains both ``<`` and a fake ``</p>`` close tag, block +
+    inline tags, and an entity tail exercising nbsp / amp-last / #39 /
+    lt+gt decoding), then run :func:`hllspark.text.extract_text_html`.
+    The fixture text is verified clean (no ``<``/``&``, single-spaced,
+    trimmed) so the expected extraction is a pure string construction
+    the oracle can state independently of any regex engine."""
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>boiler</title><style media="x">p{color:red}'
+            '</style><meta charset="utf-8"></head><body><!-- strip\n me -->'
+            '<script type="text/javascript">if (1 < 2) { var s = "</p>"; }'
+            '</script><h1 class="big">Doc '
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            "&nbsp;&amp;tail</p><ul><li>A&#39;s &lt;x&gt;</li></ul>"
+            "</body></html>"
+        ),
+    )
+    return docs.select(
+        "doc_id", htext.extract_text_html(html).alias("extracted")
+    ).orderBy("doc_id")
+
+
 def _q_text_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     from hllspark import text as htext
 
@@ -2384,6 +2416,7 @@ _HEAD = [
     "media_header_stats",
     # sources (WARC ingest family, round 5)
     "warc_read_stats",
+    "html_extract_roundtrip",
 ]
 
 
@@ -2465,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap_within_bound": _q_kmv_overlap_within_bound,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
+        "html_extract_roundtrip": _q_html_extract_roundtrip,
         "text_token_counts": _q_text_token_counts,
         "text_stats_by_lang": _q_text_stats_by_lang,
         "exact_dedup_group_count": _q_exact_dedup_group_count,
@@ -3569,6 +3603,16 @@ def oracle_sql() -> dict[str, str]:
             "AS body_byte_sum, "
             "CAST((r.range // 16) % 2 AS INT) AS from_gzip "
             "FROM range(48) r ORDER BY target_uri"
+        ),
+        # Expected output stated from the page-template CONSTRUCTION (not
+        # by re-running regexes): head/comment/script boilerplate vanish,
+        # h1/p/li block boundaries become single newlines, the entity tail
+        # decodes to " &tail" / "A's <x>".  Valid because documents.text is
+        # verified clean (no '<'/'&', single-spaced, trimmed).
+        "html_extract_roundtrip": (
+            "SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || "
+            "text || ' &tail' || chr(10) || 'A''s <x>' AS extracted "
+            "FROM documents ORDER BY doc_id"
         ),
         "text_token_counts": (
             "SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) "

@@ -271,7 +271,12 @@ def main() -> int:
 
     with tempfile.TemporaryDirectory() as wdir:
         hwarc.synthesize_warc_files(wdir, 64, records_per_file=16)
-        warc_pages = hwarc.warc_to_pages(hwarc.read_warc(spark, wdir))
+        # real boilerplate stripper at ingest (pure codegen; on the
+        # tag-free fixture bodies it equals the fixture-parity default)
+        warc_pages = hwarc.warc_to_pages(
+            hwarc.read_warc(spark, wdir),
+            extractor=text.extract_text_html,
+        )
         n_warc = warc_pages.count()
         assert n_warc == 64
         assert [f.name for f in warc_pages.schema.fields] == [

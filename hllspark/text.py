@@ -33,6 +33,72 @@ def extract_text(html: Column) -> Column:
     return F.regexp_replace(s, r"^<html><body>|</body></html>$", "")
 
 
+# Block-level elements whose open AND close tags become a newline (so
+# paragraphs/headings/cells stay separated after tag stripping).  Inline
+# tags (<b>, <span>, <a>, ...) are zero-width, matching how browsers
+# flow inline content.
+_BLOCK_TAGS = (
+    "p|div|br|hr|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th|table|thead|tbody|"
+    "blockquote|pre|section|article|aside|nav|header|footer|main|"
+    "figure|figcaption|form|fieldset|address|html|body"
+)
+
+# Entity decode set (decoded AFTER tag stripping so escaped markup like
+# &lt;tag&gt; survives as literal text; &amp; is decoded LAST so the
+# single-pass semantics are correct: '&amp;lt;' -> '&lt;', not '<').
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def extract_text_html(html: Column) -> Column:
+    """REAL HTML -> text boilerplate extraction as a chain of pure JVM
+    ``regexp_replace``/``replace`` expressions — the ingest step between
+    a WARC payload (:mod:`hllspark.warc`) and the curation pipeline.
+    Zero Python workers; the whole chain stays in whole-stage codegen,
+    so at 100 TB this is a map-only scan with no shuffle.
+
+    Rules, in order (order is load-bearing):
+
+    1. strip HTML comments ``<!-- ... -->`` (DOTALL);
+    2. drop ``<script>``/``<style>``/``<noscript>`` elements WITH their
+       content (non-greedy to the matching close tag; an unterminated
+       block survives verbatim — documented, matches lenient parsers);
+    3. drop the entire ``<head>`` element (title/meta are boilerplate);
+    4. open/close tags of block-level elements -> ``\\n``;
+    5. every remaining tag -> '' (inline tags are zero-width);
+    6. decode the common entity set, ``&amp;`` last;
+    7. normalize whitespace: horizontal runs -> one space, spaces
+       hugging newlines dropped, newline runs collapsed, edges trimmed.
+
+    Every pattern is restricted to the regex subset where Java regex
+    (Spark) and RE2 (DuckDB) agree — no backreferences, no lookaround —
+    so the contract oracle can state the expected output independently.
+    Null html -> null.  Cited scope: the reference
+    (HyperLogLog*.hpp) has no text surface; this is engine scope from
+    BASELINE.json's Common-Crawl-style input_hint."""
+    s = html.cast("string")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    for tag in ("script", "style", "noscript"):
+        s = F.regexp_replace(s, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", "")
+    s = F.regexp_replace(s, r"(?is)<head\b[^>]*>.*?</head\s*>", "")
+    s = F.regexp_replace(s, rf"(?is)</?({_BLOCK_TAGS})\b[^>]*>", "\n")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", "")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.regexp_replace(s, "[ \t\x0b\f\r]+", " ")
+    s = F.regexp_replace(s, " ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n+", "\n")
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
 # ---------------------------------------------------------------------------
 # shingling (for distinct-shingle cardinality + minhash dedup)
 # ---------------------------------------------------------------------------

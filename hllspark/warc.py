@@ -402,15 +402,24 @@ def write_warc(
     )
 
 
-def warc_to_pages(records: DataFrame) -> DataFrame:
+def warc_to_pages(records: DataFrame, extractor=None) -> DataFrame:
     """Maps parsed response records to the input_hint pages shape
     (url, warc_ts, html, text, lang) — pure codegen exprs: timestamp
-    parse, text extraction (`text.extract_text` twin), lang id.
-    Composes directly with the curation pipeline."""
+    parse, text extraction, lang id.  Composes directly with the
+    curation pipeline.
+
+    ``extractor`` is the html->text Column function; default
+    `text.extract_text` (byte-identical on the synthetic fixture's
+    wrapper).  Pass `text.extract_text_html` for real boilerplate
+    stripping (comments/script/style/head dropped, block tags ->
+    newlines, entity decode) — also pure codegen, so either choice keeps
+    ingest a map-only scan."""
     from hllspark import text as T
 
+    if extractor is None:
+        extractor = T.extract_text
     html = F.col("payload")
-    body_text = T.extract_text(html)
+    body_text = extractor(html)
     return (
         records.where(F.col("warc_type") == "response")
         .select(

@@ -83,6 +83,21 @@ def test_warc_to_pages_shape(spark, tmp_path):
     assert r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == exp["date"]
 
 
+def test_warc_to_pages_real_extractor(spark, tmp_path):
+    """warc_to_pages(extractor=extract_text_html) routes ingest through
+    the REAL boilerplate stripper; on the tag-free fixture bodies it must
+    agree byte-for-byte with the default fixture-parity twin."""
+    from hllspark import text as T
+
+    W.synthesize_warc_files(str(tmp_path), 6, records_per_file=3)
+    records = W.read_warc(spark, str(tmp_path))
+    base = {r.url: r.text for r in W.warc_to_pages(records).collect()}
+    real = {r.url: r.text
+            for r in W.warc_to_pages(
+                records, extractor=T.extract_text_html).collect()}
+    assert real == base and len(real) == 6
+
+
 def test_warc_one_task_per_file(spark, tmp_path):
     W.synthesize_warc_files(str(tmp_path), 30, records_per_file=10)
     df = W.read_warc(spark, str(tmp_path))
