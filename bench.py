@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from hllspark import agg, curation, decontam, dedup, joins, sessions, similarity
-from hllspark.text import token_count
+from hllspark.text import extract_text_html, token_count
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -430,6 +430,14 @@ def main() -> None:
         "q23_warc_parse_64k": lambda: hwarc.read_warc(spark, warc_dir)
         .agg(F.count(F.lit(1)), F.sum(F.length("payload")))
         .collect(),
+        # real HTML -> text extraction (round 5): the ~15-pass codegen
+        # regexp chain over a deterministic 25% page slice, scan included
+        # (extraction IS scan-side work at ingest), reduced to one hash
+        "q25_html_extract_500k": lambda: pages.where(
+            F.pmod(F.xxhash64("url"), F.lit(4)) == 1
+        )
+        .select(F.max(F.xxhash64(extract_text_html(F.col("html")))))
+        .collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -512,6 +520,9 @@ def main() -> None:
         ),
         "langid_docs_per_sec": round(
             n_pages_100k / results["q24_nb_langid_100k"]
+        ),
+        "html_extract_docs_per_sec": round(
+            500_000 / results["q25_html_extract_500k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]
