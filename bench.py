@@ -159,6 +159,12 @@ def main() -> None:
         .cache()
     )
     n_pages_100k = pages_100k.count()
+    # q25 scans its ==1 hash slice straight from parquet (uncached by
+    # design — extraction is scan-side work); count it once so the
+    # docs/sec denominator is the real row count, not a nominal 500k
+    n_pages_q25 = pages.where(
+        F.pmod(F.xxhash64("url"), F.lit(4)) == 1
+    ).count()
 
     # WARC ingest corpus (q23): 64k records / 32 files (half plain, half
     # per-record-gzip), ~1 KB bodies — synthesized ONCE, untimed, like the
@@ -522,7 +528,7 @@ def main() -> None:
             n_pages_100k / results["q24_nb_langid_100k"]
         ),
         "html_extract_docs_per_sec": round(
-            500_000 / results["q25_html_extract_500k"]
+            n_pages_q25 / results["q25_html_extract_500k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]

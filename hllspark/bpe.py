@@ -223,6 +223,11 @@ def bpe_encode(
 
     mlist = [tuple(m) for m in merges]
     memo: dict[str, list[str]] = {}
+    # open-vocabulary web text (urls, hex ids, numbers) would grow the
+    # memo without bound for the worker's lifetime; flush-at-cap keeps
+    # it ~100 MB worst case while Zipfian reuse restores the hit rate
+    # within a batch or two after a flush
+    memo_cap = 1 << 20
     # EXACTLY words_col's Java \s class — Python str.split()/re \s are
     # Unicode-aware and would segment NBSP-joined words the training
     # word counts treated as one type (train/encode tokenizer skew)
@@ -251,6 +256,8 @@ def bpe_encode(
                     got = memo.get(w)
                     if got is None:
                         got = _word_symbols(w, mlist)
+                        if len(memo) >= memo_cap:
+                            memo.clear()
                         memo[w] = got
                     out.extend(got)
                 toks.append(out)

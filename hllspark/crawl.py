@@ -95,7 +95,10 @@ class BloomSeenSet:
         def _unseen(keys: pd.Series) -> pd.Series:
             if len(keys) == 0:  # empty Arrow batches reach UDFs
                 return pd.Series([], dtype=bool)
-            bb, kk = bloom.decode(b.value)
+            # zero-copy read-only view of the broadcast bitmap: a
+            # per-batch decode() would memcpy the (potentially GB-sized)
+            # bitmap once per ~10k-row Arrow batch
+            bb, kk = bloom.decode_view(b.value)
             return pd.Series(~might_contain(bb, keys, kk))
 
         return df.where(F.col(key_col).isNotNull()).where(
@@ -195,21 +198,42 @@ def robots_filter(
 ) -> DataFrame:
     """Rows of ``pages`` whose url is ALLOWED under the per-host rules
     (from :func:`parse_robots`) with RFC 9309 / Google REP matching:
-    the longest matching prefix decides; on a length tie allow wins; no
-    matching rule (or no rules for the host) means allowed.
+    the most-specific (longest-pattern) matching rule decides; on a
+    length tie allow wins; no matching rule (or no rules for the host)
+    means allowed.  The RFC's special characters are supported: ``*``
+    matches any character sequence and a trailing ``$`` anchors the end
+    of the path (both per RFC 9309 §2.2.3); mid-rule ``$`` is literal.
 
     Plan: rules collapse to ONE array<struct> row per host (a tiny agg
-    on the dim side), broadcast-join to pages on host, and the decision
-    is a single expression — filter matching prefixes, array_max on
-    (prefix_len, is_allow) structs, null-safe allow — so the page
-    corpus is never shuffled and no Python touches it."""
+    on the dim side; wildcard rules are translated there into fully
+    escaped regexes — pure string exprs over the dim table), broadcast-
+    join to pages on host, and the decision is a single expression —
+    plain rules match via startswith (the common fast path), wildcard
+    rules via regexp_like, array_max on (pattern_len, is_allow) structs,
+    null-safe allow — so the page corpus is never shuffled and no
+    Python touches it."""
     from .curation import url_host, url_path
+
+    # regex-escape the rule (dim-side, tiny): backslash FIRST, then the
+    # other metacharacters; '*' is deliberately NOT escaped (it becomes
+    # '.*'), and a trailing '$' is restored as the end anchor afterwards
+    esc = F.col("prefix")
+    for ch in "\\.[]{}()+?^$|":
+        esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    esc = F.when(
+        F.col("prefix").endswith("$"),
+        F.concat(esc.substr(F.lit(1), F.length(esc) - 2), F.lit("$")),
+    ).otherwise(esc)
+    has_wild = F.col("prefix").contains("*") | F.col("prefix").endswith("$")
+    pattern = F.when(has_wild, F.concat(F.lit("^"), esc))
 
     per_host = F.broadcast(
         rules.groupBy("host").agg(
             F.collect_list(
                 F.struct(
                     F.col("prefix"),
+                    pattern.alias("pattern"),
                     (F.col("rule") == "allow").alias("is_allow"),
                 )
             ).alias("__rules")
@@ -223,7 +247,10 @@ def robots_filter(
         per_host.withColumnRenamed("host", "__host"), "__host", "left"
     )
     matching = F.filter(
-        F.col("__rules"), lambda r: path.startswith(r["prefix"])
+        F.col("__rules"),
+        lambda r: F.when(
+            r["pattern"].isNull(), path.startswith(r["prefix"])
+        ).otherwise(F.regexp_like(path, r["pattern"])),
     )
     best = F.array_max(
         F.transform(

@@ -86,7 +86,7 @@ def bloom_prune(
     @F.pandas_udf("boolean")
     def _probe(s: pd.Series) -> pd.Series:
         if "bk" not in cache:  # decode once per python worker, not per batch
-            cache["bk"] = bloom.decode(bc.value)
+            cache["bk"] = bloom.decode_view(bc.value)  # read-only probe
         bits, k = cache["bk"]
         return pd.Series(bloom.might_contain(bits, s.to_numpy(), k))
 

@@ -74,6 +74,15 @@ def decode(buf: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(buf, dtype=np.uint8, offset=12, count=m_bits // 8).copy(), k
 
 
+def decode_view(buf: bytes) -> tuple[np.ndarray, int]:
+    """Zero-copy READ-ONLY decode for probe paths (might_contain never
+    writes): at frontier scale the bitmap is GBs, and a per-Arrow-batch
+    ``decode`` would memcpy it thousands of times per job."""
+    assert buf[:4] == _MAGIC, "bad bloom header"
+    m_bits, k = struct.unpack_from("<II", buf, 4)
+    return np.frombuffer(buf, dtype=np.uint8, offset=12, count=m_bits // 8), k
+
+
 def _grouped_update(
     block: np.ndarray, codes: np.ndarray, values, k: int
 ) -> None:

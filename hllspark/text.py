@@ -67,16 +67,28 @@ def extract_text_html(html: Column) -> Column:
 
     Rules, in order (order is load-bearing):
 
-    1. strip HTML comments ``<!-- ... -->`` (DOTALL);
-    2. drop ``<script>``/``<style>``/``<noscript>`` elements WITH their
-       content (non-greedy to the matching close tag; an unterminated
-       block survives verbatim — documented, matches lenient parsers);
-    3. drop the entire ``<head>`` element (title/meta are boilerplate);
+    1. drop ``<script>``/``<style>``/``<noscript>``/``<title>`` elements
+       WITH their content (non-greedy to the matching close tag, i.e.
+       the HTML5 rule that raw-text elements end at the FIRST close
+       tag; an unterminated block survives verbatim — documented,
+       matches lenient parsers).  These run BEFORE comment stripping so
+       a lone ``<!--`` inside a JS string cannot eat visible content
+       through some later ``-->``; ``<title>`` is dropped explicitly so
+       SEO boilerplate cannot leak even when ``</head>`` is omitted;
+    2. strip HTML comments ``<!-- ... -->`` (DOTALL);
+    3. drop the entire ``<head>`` element (remaining meta boilerplate);
     4. open/close tags of block-level elements -> ``\\n``;
     5. every remaining tag -> '' (inline tags are zero-width);
     6. decode the common entity set, ``&amp;`` last;
     7. normalize whitespace: horizontal runs -> one space, spaces
        hugging newlines dropped, newline runs collapsed, edges trimmed.
+
+    Known trade-off of any regex-grade stripper (documented, accepted):
+    an UNESCAPED ``<`` in visible text (``n < 10 and x > 2``) is parsed
+    as a tag open and eats through the next ``>``; likewise a literal
+    ``>`` inside a quoted attribute value truncates that tag match.
+    Spec-valid HTML escapes these; on crawl data the damage is bounded
+    to the single ``<...>`` span.
 
     Every pattern is restricted to the regex subset where Java regex
     (Spark) and RE2 (DuckDB) agree — no backreferences, no lookaround —
@@ -85,9 +97,9 @@ def extract_text_html(html: Column) -> Column:
     (HyperLogLog*.hpp) has no text surface; this is engine scope from
     BASELINE.json's Common-Crawl-style input_hint."""
     s = html.cast("string")
-    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
-    for tag in ("script", "style", "noscript"):
+    for tag in ("script", "style", "noscript", "title"):
         s = F.regexp_replace(s, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", "")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
     s = F.regexp_replace(s, r"(?is)<head\b[^>]*>.*?</head\s*>", "")
     s = F.regexp_replace(s, rf"(?is)</?({_BLOCK_TAGS})\b[^>]*>", "\n")
     s = F.regexp_replace(s, r"(?s)<[^>]*>", "")
@@ -245,8 +257,16 @@ _LANG_MARKERS: dict[str, list[str]] = {
 def lang_id(text: Column) -> Column:
     """Marker-vote language ID, pure SQL: count marker occurrences per
     language, return the argmax (ties -> lexicographically first marker
-    set order; 'und' when no marker hits)."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    set order; 'und' when no marker hits).  Whitespace runs (incl. the
+    newline block separators `extract_text_html` emits) normalize to a
+    single space first — markers are space-delimited words, so without
+    this every marker touching a line boundary would silently not
+    count."""
+    padded = F.concat(
+        F.lit(" "),
+        F.lower(F.regexp_replace(text, r"\s+", " ")),
+        F.lit(" "),
+    )
     scores = []
     for lang, markers in _LANG_MARKERS.items():
         s = None

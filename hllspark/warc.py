@@ -159,29 +159,44 @@ def synthesize_warc_files(
 
 def _iter_gzip_members(data: bytes):
     """Yields decompressed gzip members from member-concatenated bytes —
-    streaming, one member in memory at a time."""
-    pos = 0
-    n = len(data)
+    streaming, one member in memory at a time.  The compressed buffer is
+    fed in bounded chunks through a zero-copy memoryview so total work
+    is O(file size), NOT O(members x file size): slicing ``data[pos:]``
+    per member (and the bytes ``unused_data`` materializes from it)
+    would re-copy the remaining file once per member — ~50k copies of a
+    1 GB buffer on a real Common-Crawl WARC."""
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    chunk = 1 << 20
     while pos < n:
         d = zlib.decompressobj(wbits=47)  # gzip wrapper
-        chunk = d.decompress(data[pos:])
-        yield chunk + d.flush()
-        consumed = (n - pos) - len(d.unused_data)
+        out = []
+        fed_end = pos
+        while not d.eof and fed_end < n:
+            nxt = min(fed_end + chunk, n)
+            out.append(d.decompress(mv[fed_end:nxt]))
+            fed_end = nxt
+        out.append(d.flush())
+        yield b"".join(out)
+        consumed = (fed_end - pos) - len(d.unused_data)
         if consumed <= 0:  # corrupt trailer; stop rather than spin
             raise ValueError("gzip member consumed 0 bytes")
         pos += consumed
 
 
-def _parse_record_block(block: bytes):
-    """Parses one record's bytes (header block + payload [+ trailing
-    CRLFs]) -> (headers dict lowercase, payload bytes, end offset)."""
-    if not block.startswith(b"WARC/"):
-        raise ValueError(f"not a WARC record: {block[:16]!r}")
-    hdr_end = block.find(_CRLF2)
+def _parse_record_block(block: bytes, pos: int = 0):
+    """Parses one record's bytes starting at offset ``pos`` (header
+    block + payload [+ trailing CRLFs]) -> (headers dict lowercase,
+    payload bytes, ABSOLUTE end offset).  Offset-based so the caller's
+    per-record cost is O(record), not O(remaining file) — no tail
+    slice."""
+    if block[pos : pos + 5] != b"WARC/":
+        raise ValueError(f"not a WARC record: {block[pos : pos + 16]!r}")
+    hdr_end = block.find(_CRLF2, pos)
     if hdr_end < 0:
         raise ValueError("unterminated WARC header block")
     headers = {}
-    for line in block[:hdr_end].split(b"\r\n")[1:]:
+    for line in block[pos:hdr_end].split(b"\r\n")[1:]:
         k, _, v = line.partition(b":")
         headers[k.strip().lower().decode("ascii")] = v.strip().decode(
             "utf-8", "replace"
@@ -214,9 +229,9 @@ def _iter_plain(data: bytes):
             pos += 2
         if pos >= n:
             return
-        headers, payload, end = _parse_record_block(data[pos:])
+        headers, payload, end = _parse_record_block(data, pos)
         yield headers, payload
-        pos += end
+        pos = end
 
 
 def _split_http(payload: bytes):

@@ -170,3 +170,45 @@ def test_robots_filter_bare_host_url(spark):
     )
     kept = {r.url for r in robots_filter(pages, rules).collect()}
     assert kept == {"https://h1.example.com"}  # h2 disallows /
+
+
+def test_robots_filter_wildcard_and_anchor(spark):
+    """RFC 9309 §2.2.3 special characters: '*' matches any sequence,
+    trailing '$' anchors end-of-path; mid-rule '$' is literal; regex
+    metacharacters in rule paths are matched literally; specificity =
+    rule octet length (wildcards count)."""
+    from hllspark.crawl import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "w.example.com",
+                "User-agent: *\n"
+                "Disallow: /private*\n"
+                "Disallow: /*.pdf$\n"
+                "Allow: /private-ok\n"
+                "Disallow: /a$\n"
+                "Disallow: /lit$x\n"
+                "Disallow: /re(gex)+.case\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    urls = [
+        ("https://w.example.com/private/data", False),   # wildcard prefix
+        ("https://w.example.com/privateX", False),       # '*' covers any tail
+        ("https://w.example.com/private-ok/z", True),    # longer allow wins
+        ("https://w.example.com/doc.pdf", False),        # /*.pdf$ anchored
+        ("https://w.example.com/doc.pdf.html", True),    # '$' means END
+        ("https://w.example.com/a", False),              # trailing $ exact
+        ("https://w.example.com/ab", True),              # anchored: no match
+        ("https://w.example.com/lit$x/y", False),        # mid-rule $ literal
+        ("https://w.example.com/re(gex)+.case", False),  # metachars literal
+        ("https://w.example.com/reXgexY.case", True),    # NOT a regex
+        ("https://w.example.com/other", True),
+    ]
+    pages = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    kept = {r.url for r in robots_filter(pages, rules).collect()}
+    for u, expect in urls:
+        assert (u in kept) == expect, u

@@ -44,6 +44,15 @@ CASES = [
      "top\nx\ny"),
     # noscript content dropped with the element
     ("<noscript>enable js</noscript><p>ok</p>", "ok"),
+    # a lone '<!--' inside a JS string must NOT eat visible content
+    # through a later '-->' (script/raw-text removal runs BEFORE comment
+    # stripping)
+    ('<script>var s = "<!--"; f();</script><p>Visible</p>'
+     "<!-- footer -->rest", "Visible\nrest"),
+    # </head> omitted (legal lenient HTML): <title> is dropped as a
+    # raw-text element, so SEO boilerplate cannot leak as corpus text
+    ('<html><head><meta charset="utf-8"><title>Spam SEO title</title>'
+     "<body><p>Article.</p>", "Article."),
 ]
 
 

@@ -150,6 +150,21 @@ def test_lang_id(spark):
     assert got == ["en", "de", "fr", "und"]
 
 
+def test_lang_id_newline_blocks(spark):
+    """Markers adjacent to block-separator newlines (the shape
+    extract_text_html emits) must still count — whitespace normalizes
+    before space-delimited marker matching."""
+    df = spark.createDataFrame(
+        [
+            ("Home\nAbout the team\nContact the editor\nthe news\n",),
+            ("der\nHund und\ndie Katze\nist das\tTier",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(htext.lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de"]
+
+
 def test_fingerprints(spark):
     df = spark.createDataFrame(
         [("Hello   World",), ("hello world",), ("different text",)],
