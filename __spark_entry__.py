@@ -1333,6 +1333,130 @@ def _q_countmin_bounds(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_countsketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-sketch UNBIASED point estimates (Charikar et al. 2002): same
+    distributed build shape as countmin_bounds, but the error bound is the
+    l2 form 3*||f||_2/sqrt(width) — much tighter than count-min's eps*N on
+    heavy-tailed key distributions; ||f||_2 comes from one exact
+    sum(c^2) aggregate over the probed-universe counts."""
+    import math
+
+    import numpy as np
+
+    from hllspark.sketches import countsketch, generic
+
+    ev = _t(spark, sf, "events")
+    width, depth = 2053, 5
+    sk = generic.sketch_agg(ev, "user_id", countsketch.kind(width, depth)).first()[
+        "sketch"
+    ]
+    sk = countsketch.decode(bytes(sk))
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    l2 = math.sqrt(
+        float(per_key.agg(F.sum(F.col("cnt") * F.col("cnt"))).first()[0])
+    )
+    ids = ev.select("user_id").distinct().orderBy("user_id").limit(25)
+    truth = per_key.join(F.broadcast(ids), "user_id")
+
+    @F.pandas_udf("double")
+    def cs_estimate(uid: pd.Series) -> pd.Series:
+        if len(uid) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(
+            countsketch.point_estimate(sk, uid.to_numpy().astype(np.int64)),
+            dtype="float64",
+        )
+
+    bound = 3.0 * l2 / math.sqrt(width)
+    return (
+        truth.withColumn("est", cs_estimate(F.col("user_id")))
+        .select(
+            "user_id",
+            (F.abs(F.col("est") - F.col("cnt")) <= F.lit(bound))
+            .cast("int")
+            .alias("point_ok"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_ams_f2_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """AMS second-moment (F2 = sum of squared key frequencies, Alon-Matias-
+    Szegedy 1996) per event type from ONE grouped count-sketch build — the
+    self-join-size statistic a planner wants per partition-key without
+    running the join.  exact_f2 is the oracle-checkable value; the sketch
+    estimate must land within F2*sqrt(8/width)."""
+    import math
+
+    from hllspark.sketches import countsketch, generic
+
+    ev = _t(spark, sf, "events")
+    width = 2053
+    sk = generic.sketch_agg(
+        ev, "user_id", countsketch.kind(width, 5), keys=["event_type"]
+    )
+    est_udf = generic.query_udf(
+        lambda b: countsketch.f2_estimate(countsketch.decode(b)), "double"
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    )
+    rel = math.sqrt(8.0 / width)
+    return (
+        sk.withColumn("est", est_udf(F.col("sketch")))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_f2").cast("long").alias("exact_f2"),
+            (F.abs(F.col("est") - F.col("exact_f2")) <= F.col("exact_f2") * F.lit(rel))
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_ams_join_size_unbiased(spark: SparkSession, sf: str) -> DataFrame:
+    """Unbiased join-cardinality estimate (count-sketch inner product /
+    AMS) for the click-vs-view user_id join: centered on the exact size
+    with per-row std sqrt(2*F2a*F2b/width) — the companion to
+    cm_join_size_within_bound's guaranteed-upper-bound estimator
+    (hllspark/joins.py approx_join_size_unbiased)."""
+    import math
+
+    from hllspark import joins as hjoins
+
+    ev = _t(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "view")
+    width = 8209
+    est = hjoins.approx_join_size_unbiased(
+        a, "user_id", b, "user_id", width=width, depth=7
+    )
+
+    def _stats(side):
+        per = side.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        return per.agg(
+            F.sum(F.col("c") * F.col("c")).alias("f2"),
+        ).first()["f2"]
+
+    exact = (
+        a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ca"))
+        .join(b.groupBy("user_id").agg(F.count(F.lit(1)).alias("cb")), "user_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+        .first()["s"]
+    ) or 0
+    sd = math.sqrt(2.0 * float(_stats(a)) * float(_stats(b)) / width)
+    ok = int(abs(est - float(exact)) <= 4.0 * sd)
+    return spark.createDataFrame(
+        [(int(exact), ok)], "exact_join_size bigint, within_bound int"
+    )
+
+
 def _q_cpc_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """CPC coupon sketch (Lang'17, the reference's DataSketches baseline —
     datasketches/measure.cpp:92-96,161-169): per-type distinct-user
@@ -2466,6 +2590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_median_within_tol": _q_tdigest_median_within_tol,
         "kll_rank_error": _q_kll_rank_error,
         "countmin_bounds": _q_countmin_bounds,
+        "countsketch_bounds": _q_countsketch_bounds,
+        "ams_f2_by_type": _q_ams_f2_by_type,
+        "ams_join_size_unbiased": _q_ams_join_size_unbiased,
         "bloom_no_false_negatives": _q_bloom_no_false_negatives,
         "cpc_within_bound": _q_cpc_within_bound,
         "quality_stats_by_lang": _q_quality_stats_by_lang,
@@ -3332,6 +3459,24 @@ def oracle_sql() -> dict[str, str]:
         "countmin_bounds": (
             "SELECT user_id, 1 AS count_ok FROM (SELECT DISTINCT user_id "
             "FROM events ORDER BY user_id LIMIT 25) ORDER BY user_id"
+        ),
+        "countsketch_bounds": (
+            "SELECT user_id, 1 AS point_ok FROM (SELECT DISTINCT user_id "
+            "FROM events ORDER BY user_id LIMIT 25) ORDER BY user_id"
+        ),
+        "ams_f2_by_type": (
+            "SELECT event_type, CAST(sum(c * c) AS BIGINT) AS exact_f2, "
+            "1 AS within_bound FROM (SELECT event_type, user_id, count(*) "
+            "AS c FROM events GROUP BY event_type, user_id) "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "ams_join_size_unbiased": (
+            "SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) "
+            "AS exact_join_size, 1 AS within_bound FROM "
+            "(SELECT user_id, count(*) AS c FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id) a JOIN "
+            "(SELECT user_id, count(*) AS c FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id) b USING (user_id)"
         ),
         "bloom_no_false_negatives": "SELECT 1 AS no_false_negatives",
         "cpc_within_bound": (

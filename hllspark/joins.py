@@ -142,6 +142,34 @@ def approx_join_size(
     return float(countmin.inner_product(cm_a, cm_b))
 
 
+def approx_join_size_unbiased(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    width: int = 8209,
+    depth: int = 7,
+) -> float:
+    """Unbiased variant of :func:`approx_join_size`: count-SKETCH inner
+    product (Charikar et al. 2002 signed counters / the AMS estimator).
+    Same two-scan, bounded-state plan shape, but the estimate is centered
+    on the true join size instead of biased up by (e/width)*|A|*|B| —
+    per-row std ~sqrt(2 * F2(A) * F2(B) / width), median over ``depth``
+    rows.  Prefer this when over-estimation would mis-route a borderline
+    broadcast decision; prefer count-min when a guaranteed upper bound
+    matters more than centering."""
+    from .sketches import countsketch
+
+    kind = countsketch.kind(width, depth)
+    sk_a = sketch_agg(df_a.where(F.col(key_a).isNotNull()), key_a, kind).first()
+    sk_b = sketch_agg(df_b.where(F.col(key_b).isNotNull()), key_b, kind).first()
+    if sk_a is None or sk_b is None or sk_a["sketch"] is None or sk_b["sketch"] is None:
+        return 0.0
+    cs_a = countsketch.decode(bytes(sk_a["sketch"]))
+    cs_b = countsketch.decode(bytes(sk_b["sketch"]))
+    return float(countsketch.inner_product(cs_a, cs_b))
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

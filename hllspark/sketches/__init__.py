@@ -1,14 +1,26 @@
-"""Extended mergeable-sketch family (north_rule): count-min, Bloom, KLL
-quantiles, t-digest, Misra-Gries heavy hitters, KMV set operations, and the
-CPC coupon sketch (Lang'17) — each a core + the shared two-phase Spark plan
+"""Extended mergeable-sketch family (north_rule): count-min, count-sketch
+(+ AMS F2 / unbiased join-size), Bloom, KLL quantiles, t-digest,
+Misra-Gries heavy hitters, KMV set operations, and the CPC coupon sketch
+(Lang'17) — each a core + the shared two-phase Spark plan
 (hllspark.sketches.generic).
 """
 
-from . import bloom, countmin, cpc, generic, kll, kmv, misragries, tdigest
+from . import (
+    bloom,
+    countmin,
+    countsketch,
+    cpc,
+    generic,
+    kll,
+    kmv,
+    misragries,
+    tdigest,
+)
 
 __all__ = [
     "bloom",
     "countmin",
+    "countsketch",
     "cpc",
     "generic",
     "kll",

@@ -580,3 +580,160 @@ def test_cpc_entropy_coder_estimate_unchanged():
     e1 = cpc.estimate(cpc.decode(cpc.encode_entropy(st)))
     e2 = cpc.estimate(cpc.decode(cpc.encode(st)))
     assert e1 == e2 == cpc.estimate(st)
+
+
+# --------------------------------------------------------------------------
+# count-sketch + AMS (Charikar et al. 2002 / Alon-Matias-Szegedy 1996)
+# --------------------------------------------------------------------------
+
+class TestCountSketch:
+    def _zipf(self, seed, n=50_000, keys=1000):
+        rng = np.random.default_rng(seed)
+        return (rng.zipf(1.5, size=n) % keys).astype(np.int64)
+
+    def test_point_estimate_l2_bound(self):
+        from hllspark.sketches import countsketch as cs
+
+        items = self._zipf(0)
+        width, depth = 2053, 5
+        sk = cs.update(cs.zero(width, depth), items)
+        true = np.bincount(items, minlength=1000)[:1000]
+        est = cs.point_estimate(sk, np.arange(1000, dtype=np.int64))
+        l2 = np.sqrt(float((true.astype(np.float64) ** 2).sum()))
+        # per-key failure prob exp(-Omega(depth)); allow a small tail
+        viol = np.mean(np.abs(est - true) > 3 * l2 / np.sqrt(width))
+        assert viol < 0.01
+
+    def test_unbiased_unlike_countmin(self):
+        """Signed counters: estimate error is centered on zero (count-min's
+        is strictly >= 0) — the headline property of the sketch."""
+        from hllspark.sketches import countsketch as cs
+
+        items = self._zipf(1)
+        sk = cs.update(cs.zero(521, 5), items)  # narrow: force collisions
+        true = np.bincount(items, minlength=1000)[:1000]
+        err = cs.point_estimate(sk, np.arange(1000, dtype=np.int64)) - true
+        assert (err < 0).any() and (err > 0).any()
+        assert abs(err.mean()) < 0.1 * np.abs(err).mean() + 1.0
+
+    def test_f2_estimate(self):
+        from hllspark.sketches import countsketch as cs
+
+        items = self._zipf(2)
+        width = 2053
+        sk = cs.update(cs.zero(width, 5), items)
+        true = np.bincount(items)
+        f2 = float((true.astype(np.float64) ** 2).sum())
+        assert abs(cs.f2_estimate(sk) - f2) <= f2 * np.sqrt(8.0 / width)
+
+    def test_inner_product_join_size(self):
+        from hllspark.sketches import countsketch as cs
+
+        a = self._zipf(3)
+        b = self._zipf(4)
+        width = 2053
+        sa = cs.update(cs.zero(width, 5), a)
+        sb = cs.update(cs.zero(width, 5), b)
+        ca = np.bincount(a, minlength=1000)
+        cb = np.bincount(b, minlength=1000)
+        truth = float((ca.astype(np.float64) * cb).sum())
+        f2a = float((ca.astype(np.float64) ** 2).sum())
+        f2b = float((cb.astype(np.float64) ** 2).sum())
+        sd = np.sqrt(2.0 * f2a * f2b / width)
+        assert abs(cs.inner_product(sa, sb) - truth) <= 4 * sd
+
+    def test_merge_linear_and_deletions(self):
+        """Merge is elementwise addition (turnstile model): sketch(a) +
+        sketch(b) == sketch(a ++ b), and subtracting sketch(b) recovers
+        sketch(a) exactly — count-min's min-estimator has no analogue."""
+        from hllspark.sketches import countsketch as cs
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 500, 10_000)
+        b = rng.integers(0, 500, 10_000)
+        k = cs.kind(1031, 4)
+        sa = k.update(k.zero(), pd.Series(a))
+        sb = k.update(k.zero(), pd.Series(b))
+        su = k.update(k.zero(), pd.Series(np.concatenate([a, b])))
+        np.testing.assert_array_equal(k.merge(sa, sb), su)
+        np.testing.assert_array_equal(su - sb, sa)
+
+    def test_round_trip_and_string_items(self):
+        from hllspark.sketches import countsketch as cs
+
+        sk = cs.update(cs.zero(521, 3), np.arange(1000))
+        buf = cs.encode(sk)
+        np.testing.assert_array_equal(cs.decode(buf), sk)
+        assert buf == cs.encode(cs.decode(buf))
+        vals = pd.Series([f"item{i % 50}" for i in range(5000)]).to_numpy()
+        s2 = cs.update(cs.zero(1031, 4), vals)
+        est = cs.point_estimate(s2, pd.Series(["item0", "item49"]).to_numpy())
+        assert abs(est[0] - 100) < 50 and abs(est[1] - 100) < 50
+
+    def test_grouped_block_matches_plain(self):
+        """GroupedState scatter produces byte-identical states to per-group
+        update() — the generic.sketch_agg fast-path contract."""
+        from hllspark.sketches import countsketch as cs
+
+        rng = np.random.default_rng(6)
+        vals = rng.integers(0, 300, 5000)
+        codes = rng.integers(0, 7, 5000)
+        k = cs.kind(1031, 4)
+        block = k.grouped.zero_block(7)
+        k.grouped.update(block, codes, vals)
+        for g in range(7):
+            plain = k.update(k.zero(), pd.Series(vals[codes == g]))
+            np.testing.assert_array_equal(k.grouped.to_state(block[g]), plain)
+
+
+def test_spark_countsketch_partition_invariant(spark, events):
+    """Distributed build: same sketch bytes at 2 and 16 partitions (merge
+    associativity/commutativity through the real shuffle), unbiased point
+    estimates within the l2 bound, and the grouped path's F2 per type."""
+    from hllspark.sketches import countsketch as cs
+
+    k = cs.kind(2053, 5)
+    b2 = bytes(
+        generic.sketch_agg(events.repartition(2), "user_id", k).first()["sketch"]
+    )
+    b16 = bytes(
+        generic.sketch_agg(events.repartition(16), "user_id", k).first()["sketch"]
+    )
+    assert b2 == b16
+    sk = cs.decode(b2)
+    true = {
+        r["user_id"]: r["cnt"]
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .limit(50)
+        .collect()
+    }
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    l2 = np.sqrt(
+        counts.select(F.sum(F.col("cnt") * F.col("cnt"))).first()[0]
+    )
+    ids = np.array(list(true), dtype=np.int64)
+    est = cs.point_estimate(sk, ids)
+    bound = 3 * l2 / np.sqrt(2053)
+    for i, uid in enumerate(ids):
+        assert abs(est[i] - true[uid]) <= bound
+
+    # grouped build: per-event-type F2 within the AMS bound
+    rows = generic.sketch_agg(events, "user_id", k, keys=["event_type"]).collect()
+    f2_true = {
+        r["event_type"]: r["f2"]
+        for r in counts_by_type(events).collect()
+    }
+    for r in rows:
+        est_f2 = cs.f2_estimate(cs.decode(bytes(r["sketch"])))
+        t = float(f2_true[r["event_type"]])
+        assert abs(est_f2 - t) <= t * np.sqrt(8.0 / 2053)
+
+
+def counts_by_type(events):
+    return (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
+    )
