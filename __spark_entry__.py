@@ -96,6 +96,41 @@ def _q_hll_users_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     return _within_bound(est, exact, "event_type")
 
 
+def _q_sql_api_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure-spark.sql sketch surface (hllspark.sqlfuncs): per-(type, day)
+    sketches built, re-merged to per-type, and estimated ENTIRELY through
+    registered SQL functions — plus byte-parity of the SQL-built global
+    sketch with the DataFrame API's farmhash build (one wire format across
+    both surfaces).  within_bound gates the estimate at the usual
+    1.5 * 1.04/sqrt(m) + linear-counting slack; bytes_equal gates parity."""
+    from hllspark import sqlfuncs
+
+    ev = _t(spark, sf, "events")
+    ev.createOrReplaceTempView("sql_api_events")
+    sqlfuncs.register_sql_functions(spark, p=_P)
+    est = spark.sql(
+        "WITH daily AS (SELECT event_type, to_date(ts) AS day, "
+        " hll_build_agg(user_id) AS sk FROM sql_api_events "
+        " GROUP BY event_type, to_date(ts)) "
+        "SELECT event_type, hll_estimate(hll_merge_agg(sk)) AS distinct_estimate "
+        "FROM daily GROUP BY event_type"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    bound = _within_bound(est, exact, "event_type")
+
+    sql_global = spark.sql(
+        "SELECT hll_build_agg(user_id) AS sk FROM sql_api_events"
+    ).first()["sk"]
+    df_global = (
+        agg.sketch_by(ev, "user_id", p=_P, hash_mode="farmhash", impl="pandas")
+        .first()["sketch"]
+    )
+    parity = int(bytes(sql_global) == bytes(df_global))
+    return bound.withColumn("bytes_equal", F.lit(parity)).orderBy("event_type")
+
+
 def _q_hll_docs_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     est = agg.approx_distinct(docs, "text", ["lang"], p=_P)
@@ -2645,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_distinct_docs_by_lang": _q_exact_distinct_docs_by_lang,
         "hll_users_by_type_estimate": _q_hll_users_by_type_estimate,
         "hll_users_within_bound": _q_hll_users_within_bound,
+        "sql_api_users_by_type": _q_sql_api_users_by_type,
         "hll_docs_within_bound": _q_hll_docs_within_bound,
         "hll_merge_reagg_consistent": _q_hll_merge_reagg_consistent,
         "hlll_smaller_than_hll": _q_hlll_smaller_than_hll,
@@ -3856,6 +3892,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_within_bound": (
             "SELECT event_type, 1 AS within_bound FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "sql_api_users_by_type": (
+            "SELECT event_type, 1 AS within_bound, 1 AS bytes_equal "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "hll_docs_within_bound": (
             "SELECT lang, 1 AS within_bound FROM documents "

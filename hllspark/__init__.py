@@ -45,6 +45,7 @@ from . import (
     sketch,
     sketches,
     similarity,
+    sqlfuncs,
     streaming,
     text,
     warc,
@@ -72,6 +73,7 @@ __all__ = [
     "sketch",
     "sketches",
     "similarity",
+    "sqlfuncs",
     "streaming",
     "text",
     "warc",
