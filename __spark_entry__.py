@@ -2539,6 +2539,9 @@ _HEAD = [
     "kll_rank_error",
     "bloom_no_false_negatives",
     "mg_grouped_exact",
+    "ams_f2_by_type",
+    # SQL-only API surface (round 5)
+    "sql_api_users_by_type",
     # relational sketch aggregation
     "rollup_fused_within_bound",
     "rolling_distinct_within_bound",

@@ -61,7 +61,14 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BinaryType, DoubleType, LongType
+from pyspark.sql.types import (
+    BinaryType,
+    ByteType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
 
 from . import hll as _hll
 from . import sketch as _sketch
@@ -78,8 +85,15 @@ _GLOBAL_KEY = "__hllspark_g"
 # hashing projections
 # ---------------------------------------------------------------------------
 
-def _hash_series_farmhash(s: pd.Series) -> np.ndarray:
+def _hash_series_farmhash(s: pd.Series, int_dtype: bool = False) -> np.ndarray:
+    """int_dtype=True: the SPARK column type is integral — Arrow hands an
+    int column WITH nulls to pandas as float64, which would otherwise fall
+    through to the string path and hash str("1.0") instead of the
+    reference's Fingerprint(1) (Hash.hpp:27-30).  Callers that know the
+    Spark schema pass the flag; values are integral by construction there."""
     if pd.api.types.is_integer_dtype(s.dtype):
+        return fingerprint64(s.to_numpy().astype(np.int64).view(np.uint64))
+    if int_dtype and pd.api.types.is_float_dtype(s.dtype):
         return fingerprint64(s.to_numpy().astype(np.int64).view(np.uint64))
     return farmhash64(s.astype("string").fillna("").to_numpy(dtype=object))
 
@@ -118,7 +132,8 @@ def _grouped_scatter_codes(
 
 
 def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
-                         hash_mode: str, value_col: str):
+                         hash_mode: str, value_col: str,
+                         int_dtype: bool = False):
     parity = hash_mode == "farmhash"
 
     def build_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,7 +150,7 @@ def _make_build_partials(keys: Sequence[str], p: int, algo: str, m_bits: int,
                     col = pdf[value_col]
                 if len(pdf) == 0:
                     continue
-                hashes = _hash_series_farmhash(col)
+                hashes = _hash_series_farmhash(col, int_dtype)
             else:
                 hashes = pdf[_HASH_COL].to_numpy().astype(np.int64).view(np.uint64)
             if keys:
@@ -466,7 +481,13 @@ def _sketch_by_pandas(df, value_col, keys, p, algo, m_bits, hash_mode, salt_buck
     key_schema = _key_schema(df, keys)
     out_schema = (key_schema + ", " if key_schema else "") + f"{_SKETCH_COL} binary"
     partials = projected.mapInPandas(
-        _make_build_partials(keys, p, algo, m_bits, hash_mode, value_col),
+        _make_build_partials(
+            keys, p, algo, m_bits, hash_mode, value_col,
+            int_dtype=isinstance(
+                df.schema[value_col].dataType,
+                (ByteType, ShortType, IntegerType, LongType),
+            ),
+        ),
         schema=out_schema,
     )
     merge = merge_udaf(algo, m_bits)

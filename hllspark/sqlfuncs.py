@@ -60,10 +60,19 @@ __all__ = ["register_sql_functions", "register_kind_sql"]
 def _coerce(vals: pd.Series) -> np.ndarray:
     """Arrow hands a Spark integer column WITH nulls to pandas as float64;
     after dropna(), cast back to int64 so the hash path (and therefore the
-    sketch) is byte-identical to the DataFrame API's on the same values."""
+    sketch) is byte-identical to the DataFrame API's on the same values
+    (agg._hash_series_farmhash applies the same recovery when the Spark
+    schema says integral).  A UDF cannot see the Spark type, so genuine
+    non-integral doubles are rejected with CAST guidance rather than
+    silently truncated — float hashing is ambiguous across surfaces."""
     arr = vals.to_numpy()
     if arr.dtype.kind == "f":
-        return arr.astype(np.int64)
+        if np.all(arr == np.floor(arr)):
+            return arr.astype(np.int64)
+        raise ValueError(
+            "sketch SQL functions take integer or string columns; CAST "
+            "floating-point inputs to BIGINT or STRING explicitly"
+        )
     return arr
 
 

@@ -159,3 +159,40 @@ def test_sql_null_and_empty_handling(spark):
         "s"
     ]
     assert bytes(b_nulls) == bytes(b_clean)
+
+
+def test_nullable_bigint_parity_across_surfaces(spark):
+    """Regression: a nullable BIGINT column reaches pandas as float64
+    (Arrow), which used to fall through to the string hash path in
+    farmhash parity mode — hashing str('1.0') instead of the reference's
+    Fingerprint(1).  Both surfaces must now produce the sketch of the
+    INTEGER values: byte-equal to each other and to the driver-side
+    hll.build on the non-null ints."""
+    df = spark.createDataFrame(
+        [(i if i % 7 else None,) for i in range(1, 500)], "v long"
+    )
+    df.createOrReplaceTempView("sqlfuncs_nullable_ints")
+    b_sql = spark.sql(
+        "SELECT hll_build_agg(v) AS s FROM sqlfuncs_nullable_ints"
+    ).first()["s"]
+    b_df = agg.sketch_by(df, "v", p=12, hash_mode="farmhash", impl="pandas").first()[
+        "sketch"
+    ]
+    vals = np.array([i for i in range(1, 500) if i % 7], dtype=np.int64)
+    b_ref = sketch.encode(hll.build(vals, p=12))
+    assert bytes(b_sql) == bytes(b_df) == b_ref
+
+
+def test_sql_float_input_rejected(spark):
+    """Genuine non-integral doubles are rejected with CAST guidance, not
+    silently truncated."""
+    df = spark.createDataFrame([(1.5,), (2.0,)], "v double")
+    df.createOrReplaceTempView("sqlfuncs_floats")
+    with pytest.raises(Exception, match="CAST"):
+        spark.sql("SELECT hll_build_agg(v) AS s FROM sqlfuncs_floats").collect()
+    # the documented workaround works
+    n = spark.sql(
+        "SELECT hll_estimate(hll_build_agg(CAST(v AS STRING))) AS n "
+        "FROM sqlfuncs_floats"
+    ).first()["n"]
+    assert abs(n - 2) < 0.5

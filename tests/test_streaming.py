@@ -264,6 +264,47 @@ def test_generic_sketch_stream_cpc_byte_identical(spark, tmp_path):
     assert rows == expected
 
 
+def test_generic_sketch_stream_countsketch_byte_identical(spark, tmp_path):
+    """Count-sketch streams through generic_sketch_stream unchanged: the
+    signed-counter addition monoid is order-invariant, so the streamed
+    state equals the batch build byte for byte, and its F2 query works on
+    the streamed blobs."""
+    import numpy as np
+
+    from hllspark.sketches import countsketch, generic
+
+    src = str(tmp_path / "src")
+    batch_df = _write_events(spark, src, files=3)
+    kind = countsketch.kind(1031, 4)
+    sdf = spark.readStream.schema(
+        "user_id long, grp string, ts timestamp"
+    ).parquet(src)
+    out = streaming.generic_sketch_stream(sdf, "user_id", kind, ["grp"])
+    rows = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            rows[r["grp"]] = bytes(r["sketch"])
+
+    _run_stream(out, sink, str(tmp_path / "ck"))
+    expected = {
+        r["grp"]: bytes(r["sketch"])
+        for r in generic.sketch_agg(batch_df, "user_id", kind, ["grp"]).collect()
+    }
+    assert rows == expected
+    exact_f2 = {
+        r["grp"]: float(r["f2"])
+        for r in batch_df.groupBy("grp", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("grp")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2"))
+        .collect()
+    }
+    for grp, blob in rows.items():
+        est = countsketch.f2_estimate(countsketch.decode(blob))
+        assert abs(est - exact_f2[grp]) <= exact_f2[grp] * np.sqrt(8.0 / 1031)
+
+
 def test_generic_sketch_stream_kll_quantiles(spark, tmp_path):
     """KLL streams with bounded per-key state; streamed quantiles agree
     with the exact ranks within the published error."""
