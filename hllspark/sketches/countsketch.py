@@ -61,7 +61,12 @@ def _rows(values, width: int, depth: int) -> tuple[np.ndarray, np.ndarray]:
     with np.errstate(over="ignore"):
         idx = ((h[None, :] + i * h2[None, :]) % np.uint64(width)).astype(np.int64)
         hs = fibonacci_hash(h[None, :] ^ ((i + np.uint64(1)) * _SIGN_SALT))
-    sign = np.where((hs & np.uint64(1)).astype(bool), np.int64(1), np.int64(-1))
+    # sign = TOP bit of the golden-ratio mix.  NOT the low bit: for odd
+    # multiplier M, (M * x) & 1 == x & 1, so a low-bit sign would collapse
+    # to parity(h) xor parity(row) — every row's signs identical up to a
+    # global flip (caught by a cross-row agreement probe; top bit measures
+    # ~0.50 agreement between rows, as independence requires).
+    sign = np.where((hs >> np.uint64(63)).astype(bool), np.int64(1), np.int64(-1))
     return idx, sign
 
 

@@ -642,6 +642,21 @@ class TestCountSketch:
         sd = np.sqrt(2.0 * f2a * f2b / width)
         assert abs(cs.inner_product(sa, sb) - truth) <= 4 * sd
 
+    def test_row_signs_independent(self):
+        """Regression: drawing the sign from the LOW bit of an odd-constant
+        multiply collapses to parity(h) xor parity(row) — every row's signs
+        identical up to a global flip.  The top-bit draw must give ~50%
+        cross-row agreement and near-zero sign/bucket correlation."""
+        from hllspark.sketches.countsketch import _rows
+
+        idx, sign = _rows(np.arange(100_000, dtype=np.int64), 2053, 5)
+        for a in range(4):
+            agree = (sign[a] == sign[a + 1]).mean()
+            assert 0.48 < agree < 0.52
+        for i in range(5):
+            assert abs(np.corrcoef(idx[i], sign[i])[0, 1]) < 0.02
+            assert abs(sign[i].mean()) < 0.02
+
     def test_merge_linear_and_deletions(self):
         """Merge is elementwise addition (turnstile model): sketch(a) +
         sketch(b) == sketch(a ++ b), and subtracting sketch(b) recovers
