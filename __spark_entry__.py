@@ -1373,7 +1373,14 @@ def _q_countsketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
     distributed build shape as countmin_bounds, but the error bound is the
     l2 form 3*||f||_2/sqrt(width) — much tighter than count-min's eps*N on
     heavy-tailed key distributions; ||f||_2 comes from one exact
-    sum(c^2) aggregate over the probed-universe counts."""
+    sum(c^2) aggregate over the probed-universe counts.
+
+    depth=7 (not the library default 5): the 3-sigma form holds per key
+    with probability 1-exp(-Omega(depth)) via the median trick, and the
+    measured max normalized error across all three fixtures is 3.41 at
+    depth 5 (one tail event among 25 keys, expected rate ~1.4%/key) vs
+    0.14 at depth 7 — the deterministic gate keeps the published constant
+    and buys its headroom from median concentration, not a fudged bound."""
     import math
 
     import numpy as np
@@ -1381,7 +1388,7 @@ def _q_countsketch_bounds(spark: SparkSession, sf: str) -> DataFrame:
     from hllspark.sketches import countsketch, generic
 
     ev = _t(spark, sf, "events")
-    width, depth = 2053, 5
+    width, depth = 2053, 7
     sk = generic.sketch_agg(ev, "user_id", countsketch.kind(width, depth)).first()[
         "sketch"
     ]
