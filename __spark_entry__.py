@@ -2522,6 +2522,76 @@ def _q_index_dedup_new_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_fd_covariance_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent Directions (Liberty 2013 / GLPW 2016, round 5,
+    hllspark/sketches/freqdir.py): ONE-pass mergeable covariance sketch of
+    the embeddings table through the shared two-phase plan, checked
+    against the EXACT Gram matrix (similarity.gram_matrix, a bounded
+    dim^2 collect) for the full PSD sandwich
+    0 <= A^T A - B^T B <= (||A||_F^2 / ell) I.  frob_sq is value-matched
+    against the SQL sum of squares (it is exact in the sketch by
+    construction); the eigenvalue check is the non-SQL-expressible part,
+    reported as the theorem-guaranteed flag."""
+    import numpy as np
+
+    from hllspark import similarity
+    from hllspark.sketches import freqdir
+
+    emb = _t(spark, sf, "embeddings")
+    dim, ell = 64, 16
+    sk = freqdir.decode(
+        bytes(similarity.fd_sketch(emb, dim, ell).first()["sketch"])
+    )
+    G = similarity.gram_matrix(emb, dim)
+    ev = np.linalg.eigvalsh(G - freqdir.gram_estimate(sk))
+    ok = int(ev.min() > -1e-6 and ev.max() <= freqdir.cov_error_bound(sk) + 1e-9)
+    return spark.createDataFrame(
+        [(round(sk.frob_sq, 2), ok)], "frob_sq double, within_bound int"
+    )
+
+
+def _q_fd_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass PCA from the frequent-directions sketch: project the
+    corpus onto the sketch's top-r right singular directions IN-PLAN
+    (similarity.pca_project, one broadcast matmul per Arrow batch, no
+    shuffle) and verify the GLPW16 projection guarantee
+    ||A - A pi_r||_F^2 <= ell/(ell-r) * ||A - A_r||_F^2 against exact
+    PCA of the exact Gram matrix.  The captured energy is aggregated
+    distributed over the projected column (codegen array fold)."""
+    import numpy as np
+
+    from hllspark import similarity
+    from hllspark.sketches import freqdir
+
+    emb = _t(spark, sf, "embeddings")
+    dim, ell, r = 64, 16, 8
+    sk = freqdir.decode(
+        bytes(similarity.fd_sketch(emb, dim, ell).first()["sketch"])
+    )
+    V, _ = freqdir.top_directions(sk, r)
+    captured = (
+        similarity.pca_project(emb.where(F.col("embedding").isNotNull()), V)
+        .select(
+            F.aggregate(
+                F.transform("projected", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("e")
+        )
+        .agg(F.sum("e"))
+        .first()[0]
+    )
+    G = similarity.gram_matrix(emb, dim)
+    evals = np.sort(np.linalg.eigvalsh(G))[::-1]
+    exact_resid = float(evals[r:].sum())
+    fd_resid = float(np.trace(G)) - float(captured)
+    ok = int(fd_resid <= ell / (ell - r) * exact_resid + 1e-6)
+    return spark.createDataFrame(
+        [(round(sk.frob_sq, 2), r, ok)],
+        "frob_sq double, r int, proj_ok int",
+    )
+
+
 # Bump each round: rotates the contract tail through the driver's
 # 50-query correctness window (see COVERAGE.md "contract rotation").
 _ROUND = 5
@@ -2680,6 +2750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top3": _q_cosine_top3,
         "cosine_top1_is_self": _q_cosine_top1_is_self,
         "pq_recall_within_bound": _q_pq_recall_within_bound,
+        "fd_covariance_bound": _q_fd_covariance_bound,
+        "fd_pca_project": _q_fd_pca_project,
         "lang_id_markers": _q_lang_id_markers,
         "simhash_self_hamming": _q_simhash_self_hamming,
         "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
@@ -3861,6 +3933,16 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_within_bound": (
             "SELECT vec_id AS query_id, 1 AS self_top1, 1 AS recall_ok "
             "FROM embeddings WHERE vec_id < 8 ORDER BY query_id"
+        ),
+        "fd_covariance_bound": (
+            "SELECT ROUND(SUM(u * u), 2) AS frob_sq, 1 AS within_bound "
+            "FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS u "
+            "FROM embeddings WHERE embedding IS NOT NULL)"
+        ),
+        "fd_pca_project": (
+            "SELECT ROUND(SUM(u * u), 2) AS frob_sq, 8 AS r, 1 AS proj_ok "
+            "FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS u "
+            "FROM embeddings WHERE embedding IS NOT NULL)"
         ),
         "simhash_self_hamming": (
             "SELECT doc_id, 0 AS self_hamming FROM documents "

@@ -1083,3 +1083,99 @@ def semantic_dedup(
     return ids.join(drops.withColumn("__d", F.lit(True)), id_col, "left").select(
         id_col, "cell", F.coalesce(~F.col("__d"), F.lit(True)).alias("kept")
     )
+
+
+def gram_matrix(corpus: DataFrame, dim: int, vec_col: str = "embedding"):
+    """EXACT Gram matrix A^T A of an embedding column as a (dim, dim)
+    numpy array — the verification / exact-PCA counterpart of the
+    frequent-directions sketch (sketches/freqdir.py).
+
+    Same treeAggregate shape as kmeans_fit_distributed: one Arrow-batch
+    X^T X matmul per batch (map-side), then ONE groupBy(i, j) sum whose
+    reduce side sees at most dim*(dim+1)/2 rows per partition regardless
+    of corpus size, and only that bounded triangle is collected (a Gram
+    matrix is driver state by definition, like Lloyd centroids).  At
+    dim=768 the collect is ~295k scalar rows — fine; the corpus itself
+    never shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    iu = np.triu_indices(dim)
+    ii = iu[0].astype("int32")
+    jj = iu[1].astype("int32")
+
+    def partials(batches):
+        for batch in batches:
+            vecs = batch.column(0).to_pylist()
+            if not vecs:
+                continue
+            X = np.asarray(vecs, dtype=np.float64)
+            G = X.T @ X
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ii, type=pa.int32()),
+                    pa.array(jj, type=pa.int32()),
+                    pa.array(G[iu], type=pa.float64()),
+                ],
+                names=["i", "j", "s"],
+            )
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .mapInArrow(partials, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    import numpy as np  # noqa: F811 — local import pattern of this module
+
+    G = np.zeros((dim, dim))
+    for r in rows:
+        G[r.i, r.j] = r.s
+        G[r.j, r.i] = r.s
+    return G
+
+
+def fd_sketch(
+    corpus: DataFrame,
+    dim: int,
+    ell: int = 64,
+    vec_col: str = "embedding",
+    keys=None,
+):
+    """Frequent-directions covariance/PCA sketch of an embedding column
+    through the shared two-phase plan: DataFrame[keys..., sketch binary]
+    (one O(ell*dim) state per group; the corpus never shuffles raw rows).
+    Decode with sketches.freqdir.decode; query with gram_estimate /
+    top_directions / cov_error_bound."""
+    from .sketches import freqdir, generic
+
+    return generic.sketch_agg(corpus, vec_col, freqdir.kind(ell, dim), keys=keys)
+
+
+def pca_project(
+    corpus: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project embeddings onto an (r, dim) orthonormal row basis (e.g.
+    freqdir.top_directions of an fd_sketch): adds ``out_col`` as
+    array<double> of length r.  One broadcast (r, dim) matrix + one
+    matmul per Arrow batch — no shuffle, composes with pq_encode /
+    ivf_top_k downstream (dimensionality reduction before quantization,
+    the classic IVF-PQ preprocessing)."""
+    import numpy as np
+
+    P = np.ascontiguousarray(components, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        Y = X @ P.T
+        return pd.Series(list(Y))
+
+    return corpus.withColumn(out_col, proj(F.col(vec_col)))

@@ -1,8 +1,9 @@
 """Extended mergeable-sketch family (north_rule): count-min, count-sketch
 (+ AMS F2 / unbiased join-size), Bloom, KLL quantiles, t-digest,
-Misra-Gries heavy hitters, KMV set operations, and the CPC coupon sketch
-(Lang'17) — each a core + the shared two-phase Spark plan
-(hllspark.sketches.generic).
+Misra-Gries heavy hitters, KMV set operations, the CPC coupon sketch
+(Lang'17), and Frequent Directions (Liberty'13 — the matrix/covariance
+member, one-pass PCA over embedding columns) — each a core + the shared
+two-phase Spark plan (hllspark.sketches.generic).
 """
 
 from . import (
@@ -10,6 +11,7 @@ from . import (
     countmin,
     countsketch,
     cpc,
+    freqdir,
     generic,
     kll,
     kmv,
@@ -22,6 +24,7 @@ __all__ = [
     "countmin",
     "countsketch",
     "cpc",
+    "freqdir",
     "generic",
     "kll",
     "kmv",

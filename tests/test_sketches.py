@@ -752,3 +752,132 @@ def counts_by_type(events):
         .groupBy("event_type")
         .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("f2"))
     )
+
+
+class TestFrequentDirections:
+    """Frequent Directions (Liberty 2013 / GLPW 2016): the matrix member
+    of the mergeable family.  State is NOT partition-invariant (shrink
+    points follow batch boundaries) — the invariants are the PSD Gram
+    sandwich 0 <= A^T A - B^T B <= (frob/ell) I, exact frob_sq, and the
+    top-r projection guarantee, under EVERY split/partitioning."""
+
+    def _rand(self, seed, n=300, d=24, rank=4):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((n, rank)) @ rng.standard_normal(
+            (rank, d)
+        ) + 0.05 * rng.standard_normal((n, d))
+
+    def _check_bound(self, A, st, freqdir):
+        D = A.T @ A - freqdir.gram_estimate(st)
+        ev = np.linalg.eigvalsh(D)
+        assert ev.min() > -1e-6
+        assert ev.max() <= freqdir.cov_error_bound(st) + 1e-9
+        assert abs(st.frob_sq - (A**2).sum()) < 1e-6 * max((A**2).sum(), 1)
+
+    def test_bound_any_batching(self):
+        from hllspark.sketches import freqdir
+
+        A = self._rand(1)
+        rng = np.random.default_rng(2)
+        for _ in range(5):
+            st = freqdir.zero(10, A.shape[1])
+            cuts = np.sort(rng.choice(np.arange(1, len(A)), 6, replace=False))
+            for part in np.split(A, cuts):
+                freqdir.update(st, list(part))
+            self._check_bound(A, st, freqdir)
+
+    def test_merge_bound_and_roundtrip(self):
+        from hllspark.sketches import freqdir
+
+        A = self._rand(3)
+        thirds = np.array_split(A, 3)
+        sks = []
+        for part in thirds:
+            st = freqdir.zero(10, A.shape[1])
+            freqdir.update(st, list(part))
+            sks.append(freqdir.decode(freqdir.encode(st)))  # wire round-trip
+        merged = freqdir.merge(freqdir.merge(sks[0], sks[1]), sks[2])
+        self._check_bound(A, merged, freqdir)
+        # associativity of the GUARANTEE: other merge order also within bound
+        merged2 = freqdir.merge(sks[0], freqdir.merge(sks[1], sks[2]))
+        self._check_bound(A, merged2, freqdir)
+
+    def test_projection_guarantee(self):
+        from hllspark.sketches import freqdir
+
+        A = self._rand(4)
+        r, ell = 4, 12
+        st = freqdir.zero(ell, A.shape[1])
+        freqdir.update(st, list(A))
+        V, _ = freqdir.top_directions(st, r)
+        fd_resid = ((A - (A @ V.T) @ V) ** 2).sum()
+        sA = np.linalg.svd(A, compute_uv=False)
+        exact_resid = (sA[r:] ** 2).sum()
+        assert fd_resid <= ell / (ell - r) * exact_resid + 1e-6
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_TEST}/embeddings.parquet").cache()
+
+
+def test_spark_freqdir_bound_partition_invariant_guarantee(spark, embeddings):
+    """The PSD sandwich and exact frob hold for EVERY partitioning (the
+    states themselves legitimately differ — shrink points move)."""
+    from hllspark import similarity
+    from hllspark.sketches import freqdir
+
+    dim, ell = 64, 16
+    G = similarity.gram_matrix(embeddings, dim)
+    exact_frob = float(np.trace(G))
+    for parts in (1, 4, 16):
+        sk = similarity.fd_sketch(
+            embeddings.repartition(parts), dim, ell
+        ).first()["sketch"]
+        st = freqdir.decode(bytes(sk))
+        D = G - freqdir.gram_estimate(st)
+        ev = np.linalg.eigvalsh(D)
+        assert ev.min() > -1e-6
+        assert ev.max() <= freqdir.cov_error_bound(st) + 1e-9
+        assert abs(st.frob_sq - exact_frob) < 1e-6 * exact_frob
+
+
+def test_spark_freqdir_grouped_and_pca_project(spark, embeddings):
+    from hllspark import similarity
+    from hllspark.sketches import freqdir
+
+    dim, ell, r = 64, 16, 8
+    # grouped: one sketch per label, each obeying its own group's bound
+    per = similarity.fd_sketch(embeddings, dim, ell, keys=["label"]).collect()
+    assert len(per) == embeddings.select("label").distinct().count()
+    for row in per:
+        st = freqdir.decode(bytes(row["sketch"]))
+        grp = embeddings.where(F.col("label") == row["label"])
+        Gg = similarity.gram_matrix(grp, dim)
+        ev = np.linalg.eigvalsh(Gg - freqdir.gram_estimate(st))
+        assert ev.min() > -1e-6
+        assert ev.max() <= freqdir.cov_error_bound(st) + 1e-9
+    # pca_project: in-plan captured energy matches numpy exactly
+    sk = freqdir.decode(
+        bytes(similarity.fd_sketch(embeddings, dim, ell).first()["sketch"])
+    )
+    V, _ = freqdir.top_directions(sk, r)
+    proj = similarity.pca_project(embeddings, V)
+    captured = proj.select(
+        F.aggregate(
+            F.transform("projected", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("e")
+    ).agg(F.sum("e")).first()[0]
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in
+         [r2["embedding"] for r2 in embeddings.select("embedding").collect()]]
+    )
+    assert abs(captured - ((X @ V.T) ** 2).sum()) < 1e-6 * max(captured, 1)
+    # projection guarantee vs exact PCA of the corpus
+    G = similarity.gram_matrix(embeddings, dim)
+    evals = np.sort(np.linalg.eigvalsh(G))[::-1]
+    exact_resid = float(evals[r:].sum())
+    fd_resid = float(np.trace(G)) - float(captured)
+    assert fd_resid <= ell / (ell - r) * exact_resid + 1e-6
