@@ -2592,6 +2592,39 @@ def _q_fd_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tfidf_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashed TF-IDF vectorization (round 5, text.hashed_tfidf):
+    md5-portable bucket hash, smooth idf ln((1+N)/(1+df))+1, per-doc dense
+    vectors assembled in pure JVM expressions.  The oracle replicates the
+    ENTIRE vectorizer in SQL — tokenizer, md5 bucketing, tf, document
+    frequencies, idf, and the per-doc (nnz, l2) reduction — so the vector
+    contents are value-gated end-to-end (nnz and l2 determine the sparse
+    weight multiset up to bucket permutation; the md5 bucket hash is the
+    same construction already value-gated by dsir_log_weights)."""
+    from hllspark import text as htext
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    out = htext.hashed_tfidf(docs, dim=32, seed=0, normalize=False)
+    sq = F.aggregate(
+        F.transform("tfidf", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    nnz = F.aggregate(
+        F.transform(
+            "tfidf", lambda x: F.when(x != 0.0, F.lit(1)).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return (
+        out.select(
+            "doc_id",
+            nnz.cast("long").alias("nnz"),
+            F.round(F.sqrt(sq), 4).alias("l2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Bump each round: rotates the contract tail through the driver's
 # 50-query correctness window (see COVERAGE.md "contract rotation").
 _ROUND = 5
@@ -2752,6 +2785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_within_bound": _q_pq_recall_within_bound,
         "fd_covariance_bound": _q_fd_covariance_bound,
         "fd_pca_project": _q_fd_pca_project,
+        "tfidf_vector_stats": _q_tfidf_vector_stats,
         "lang_id_markers": _q_lang_id_markers,
         "simhash_self_hamming": _q_simhash_self_hamming,
         "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
@@ -3943,6 +3977,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(SUM(u * u), 2) AS frob_sq, 8 AS r, 1 AS proj_ok "
             "FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS u "
             "FROM embeddings WHERE embedding IS NOT NULL)"
+        ),
+        "tfidf_vector_stats": (
+            "WITH base AS (SELECT doc_id, list_filter("
+            "  regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+            "  FROM documents WHERE doc_id < 200), "
+            "tok AS (SELECT doc_id, ws[i] AS t FROM base, "
+            "  unnest(generate_series(1, len(ws))) ti(i)), "
+            "tf AS (SELECT doc_id, "
+            "  CAST(concat('0x', substring(md5(t || chr(31) || '0'), 1, 8)) "
+            "  AS BIGINT) % 32 AS b, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "nd AS (SELECT count(*) AS n FROM documents WHERE doc_id < 200), "
+            "idf AS (SELECT b, ln((1.0 + nd.n) / (1.0 + count(*))) + 1.0 "
+            "  AS idf FROM tf CROSS JOIN nd GROUP BY b, nd.n), "
+            "w AS (SELECT tf.doc_id, tf.c * idf.idf AS w "
+            "  FROM tf JOIN idf USING (b)), "
+            "ag AS (SELECT doc_id, count(*) AS nnz, "
+            "  round(sqrt(sum(w * w)), 4) AS l2 FROM w GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(a.nnz, 0) AS BIGINT) AS nnz, "
+            "coalesce(a.l2, 0.0) AS l2 FROM base d LEFT JOIN ag a "
+            "USING (doc_id) ORDER BY d.doc_id"
         ),
         "simhash_self_hamming": (
             "SELECT doc_id, 0 AS self_hamming FROM documents "

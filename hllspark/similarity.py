@@ -64,7 +64,12 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Zero-norm-safe: a zero vector (e.g. an empty doc's hashed-TF-IDF)
+    is defined to have similarity 0.0 to everything rather than raising
+    DIVIDE_BY_ZERO under ANSI mode — one degenerate row must not kill a
+    corpus-scale job."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def brute_force_top_k(

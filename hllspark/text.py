@@ -782,3 +782,140 @@ def _nb_lang_id_arrow(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# hashed TF-IDF vectorization (feature hashing, Weinberger et al. 2009;
+# TF-IDF weighting per the standard smooth-idf form).  Bridges raw text
+# into the embedding-space operators: hashed_tfidf -> similarity.{kmeans,
+# semantic_dedup, fd_sketch, pq_encode} is an all-text semantic pipeline
+# with no external embedding model.
+# ---------------------------------------------------------------------------
+
+_FEAT_SEP = "\x1f"
+
+
+def feature_bucket(token: Column, dim: int, seed: int = 0) -> Column:
+    """Engine-portable hashed-feature bucket in [0, dim): first 8 md5 hex
+    digits (32 bits, exact in a long) of ``token || sep || seed``, mod
+    dim — the same construction as curation.dsir_bucket (kept separate so
+    vectorizer and DSIR hash streams stay independent and the two modules
+    stay acyclic), bit-reproducible in any engine with md5."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(_FEAT_SEP, token, F.lit(str(seed)))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(int(dim)))
+
+
+def hashed_tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    seed: int = 0,
+    out_col: str = "tfidf",
+    normalize: bool = True,
+    attach: bool = True,
+) -> DataFrame:
+    """Adds ``out_col`` (array<double>, length ``dim``): feature-hashed
+    TF-IDF document vectors, entirely in JVM expressions.
+
+      bucket(t) = md5-hash(t) mod dim            (feature hashing)
+      idf(b)    = ln((1 + N) / (1 + df(b))) + 1  (smooth idf)
+      v[b]      = tf(doc, b) * idf(b), then optional L2 normalization.
+
+    Plan shape (the 100 TB story):
+      1. the (id, bucket) tf aggregate shuffles PARTIALLY-COMBINED
+         (id, bucket, count) rows — bounded by dim per doc — never raw
+         token strings; the follow-up per-doc assembly exchange carries
+         the same bounded rows keyed by id alone.  (Collapsing the two
+         into one exchange via repartition(id) before the tf agg would
+         ship the RAW token stream instead — strictly worse; two
+         dim-bounded exchanges beat one corpus-sized one.)
+      2. document frequencies reduce to AT MOST ``dim`` rows, joined back
+         as a broadcast; N comes from one 1-row aggregate crossJoined
+         broadcast (the tiny-agg pattern used by mixture_sample);
+      3. per-doc dense assembly is map_from_entries(collect_list(..))
+         over <= dim entries per doc + one transform(sequence(..)) fill —
+         no Python, no explode back out;
+      4. ``attach=True`` (convenience) joins the vectors back to ``df``
+         on ``id_col`` (docs with no tokens get the zero vector) — that
+         join shuffles the INPUT table on id, fine at notebook scale.
+         At corpus scale pass ``attach=False`` to get the bare
+         (id_col, out_col) frame — join it on bucketed storage
+         (io.bucketed_join) or carry it forward alone; zero-token docs
+         are then simply absent.
+
+    Output is deterministic and engine-portable (md5 buckets), so the
+    whole vectorization replicates in a SQL oracle term for term."""
+    if dim < 1:
+        raise ValueError("hashed_tfidf: dim must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.coalesce(words_col(F.col(text_col)), F.array())).alias(
+            "__tok"
+        ),
+    )
+    tf = (
+        toks.select("__id", feature_bucket(F.col("__tok"), dim, seed).alias("__b"))
+        .groupBy("__id", "__b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    dfreq = (
+        tf.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__b",
+            (
+                F.log((F.lit(1.0) + F.col("__n")) / (F.lit(1.0) + F.col("__df")))
+                + F.lit(1.0)
+            ).alias("__idf"),
+        )
+    )
+    weighted = tf.join(F.broadcast(dfreq), "__b").select(
+        "__id", "__b", (F.col("__tf") * F.col("__idf")).alias("__w")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
+        ),
+    )
+    vecs = (
+        weighted.groupBy("__id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b").cast("int"), F.col("__w")))
+            ).alias("__m")
+        )
+        .select("__id", dense.alias("__v"))
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("__v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        )
+        vecs = vecs.select(
+            "__id",
+            F.when(
+                nrm > 0, F.transform(F.col("__v"), lambda x: x / nrm)
+            ).otherwise(F.col("__v")).alias("__v"),
+        )
+    if not attach:
+        return vecs.select(F.col("__id").alias(id_col), F.col("__v").alias(out_col))
+    zero_vec = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.join(vecs, df[id_col] == vecs["__id"], "left")
+        .drop("__id")
+        .withColumn(out_col, F.coalesce(F.col("__v"), zero_vec))
+        .drop("__v")
+    )

@@ -326,3 +326,66 @@ def test_token_count_equals_words_col_size(spark):
     ).collect()
     for r in got:
         assert r["fast"] == r["ref"], (r["i"], r["fast"], r["ref"])
+
+
+def test_hashed_tfidf_matches_replica_and_composes(spark):
+    """hashed_tfidf (feature-hashed TF-IDF, round 5): exact parity with a
+    hand-rolled replica, identical texts -> identical vectors (the
+    all-text semantic-dedup bridge), zero-token docs -> zero vector."""
+    import hashlib
+    import math
+    import re
+
+    import numpy as np
+
+    from hllspark import similarity, text as htext
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # twin of 0
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "sphinx of black quartz judge my vow"),
+        (4, "   \t  "),  # whitespace-only -> zero vector
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim, seed = 16, 3
+    out = htext.hashed_tfidf(df, dim=dim, seed=seed, normalize=False)
+    got = {r["doc_id"]: np.array(r["tfidf"]) for r in out.collect()}
+    assert all(len(v) == dim for v in got.values())
+
+    def bucket(tok):
+        h = int(
+            hashlib.md5((tok + "\x1f" + str(seed)).encode()).hexdigest()[:8],
+            16,
+        )
+        return h % dim
+
+    tfs = {}
+    for did, text in rows:
+        v = {}
+        for w in (w for w in re.split(r"\s+", text) if w):
+            b = bucket(w)
+            v[b] = v.get(b, 0) + 1
+        tfs[did] = v
+    dfreq = {}
+    for v in tfs.values():
+        for b in v:
+            dfreq[b] = dfreq.get(b, 0) + 1
+    n = len(rows)
+    for did, v in tfs.items():
+        exp = np.zeros(dim)
+        for b, c in v.items():
+            exp[b] = c * (math.log((1 + n) / (1 + dfreq[b])) + 1)
+        assert np.abs(got[did] - exp).max() < 1e-9
+    assert got[4].sum() == 0.0  # zero-token doc
+
+    # normalized vectors: twins are cosine-1, and the embedding-space
+    # near-dup operator finds exactly that pair on the tfidf column
+    outn = htext.hashed_tfidf(df, dim=dim, seed=seed, normalize=True)
+    pairs = similarity.near_duplicates_by_cosine(
+        outn.select("doc_id", F.col("tfidf").alias("embedding")),
+        dim=dim,
+        threshold=0.999,
+        id_col="doc_id",
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
