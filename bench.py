@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from hllspark import agg, curation, decontam, dedup, joins, sessions, similarity
-from hllspark.text import extract_text_html, token_count
+from hllspark.text import extract_text_html, hashed_tfidf, token_count
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -444,6 +444,22 @@ def main() -> None:
         )
         .select(F.max(F.xxhash64(extract_text_html(F.col("html")))))
         .collect(),
+        # hashed TF-IDF vectorization (text -> embedding bridge): full
+        # tf/idf/dense-assembly over the 100k slice at dim=256; the max
+        # over per-doc squared norms forces every vector to materialize
+        "q26_tfidf_100k": lambda: hashed_tfidf(
+            pages_100k_ids, text_col="text", id_col="rid", dim=256, attach=False
+        )
+        .select(
+            F.max(
+                F.aggregate(
+                    F.transform("tfidf", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            )
+        )
+        .collect(),
         # hashing-cost-only floor (reference Hasher baseline, measure.cpp:30-52)
         "b0_hashonly_20m": lambda: synth.select(
             F.max(F.xxhash64("v"))
@@ -529,6 +545,9 @@ def main() -> None:
         ),
         "html_extract_docs_per_sec": round(
             n_pages_q25 / results["q25_html_extract_500k"]
+        ),
+        "tfidf_docs_per_sec": round(
+            n_pages_100k / results["q26_tfidf_100k"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]
