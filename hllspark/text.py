@@ -820,6 +820,7 @@ def hashed_tfidf(
     out_col: str = "tfidf",
     normalize: bool = True,
     attach: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Adds ``out_col`` (array<double>, length ``dim``): feature-hashed
     TF-IDF document vectors, entirely in JVM expressions.
@@ -839,9 +840,14 @@ def hashed_tfidf(
       2. document frequencies reduce to AT MOST ``dim`` rows, joined back
          as a broadcast; N comes from one 1-row aggregate crossJoined
          broadcast (the tiny-agg pattern used by mixture_sample);
-      3. per-doc dense assembly is map_from_entries(collect_list(..))
-         over <= dim entries per doc + one transform(sequence(..)) fill —
-         no Python, no explode back out;
+      3. per-doc dense assembly: impl='arrow' (default) collects the
+         <= dim (bucket, weight) pairs per doc and scatters ALL docs of
+         each Arrow batch into one numpy (batch, dim) block — O(total
+         nnz), the GroupedState shape; impl='expr' is the zero-Python
+         codegen reference (map_from_entries + transform(sequence) fill)
+         but element_at on MapType is a linear scan, O(dim * nnz) per
+         doc — 10x slower at dim=256 (PLANS §46).  A pytest gates the
+         two value-identical;
       4. ``attach=True`` (convenience) joins the vectors back to ``df``
          on ``id_col`` (docs with no tokens get the zero vector) — that
          join shuffles the INPUT table on id, fine at notebook scale.
@@ -881,22 +887,71 @@ def hashed_tfidf(
     weighted = tf.join(F.broadcast(dfreq), "__b").select(
         "__id", "__b", (F.col("__tf") * F.col("__idf")).alias("__w")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
-        ),
-    )
-    vecs = (
-        weighted.groupBy("__id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("__b").cast("int"), F.col("__w")))
-            ).alias("__m")
+    if impl == "expr":
+        # pure-codegen assembly: element_at on MapType is a LINEAR scan,
+        # so this is O(dim * nnz) per doc — measured 10x slower than the
+        # arrow scatter at dim=256 on the bench corpus (PLANS §46); kept
+        # as the zero-Python reference path the value-identity pytest
+        # gates the fast path against.
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("int")), F.lit(0.0)
+            ),
         )
-        .select("__id", dense.alias("__v"))
-    )
+        vecs = (
+            weighted.groupBy("__id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(F.col("__b").cast("int"), F.col("__w"))
+                    )
+                ).alias("__m")
+            )
+            .select("__id", dense.alias("__v"))
+        )
+    elif impl == "arrow":
+        # vectorized scatter assembly: one np zeros[(batch, dim)] fill per
+        # Arrow batch across ALL docs of the batch — O(total nnz), the
+        # same grouped-scatter shape as sketches/generic.GroupedState.
+        @F.pandas_udf("array<double>")
+        def _scatter(bs: pd.Series, ws: pd.Series) -> pd.Series:
+            if len(bs) == 0:
+                return pd.Series([], dtype=object)
+            lens = np.fromiter((len(x) for x in bs), dtype=np.int64, count=len(bs))
+            rows = np.repeat(np.arange(len(bs)), lens)
+            cols = (
+                np.concatenate([np.asarray(x, dtype=np.int64) for x in bs])
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            vals = (
+                np.concatenate([np.asarray(x, dtype=np.float64) for x in ws])
+                if lens.sum()
+                else np.empty(0, dtype=np.float64)
+            )
+            M = np.zeros((len(bs), dim))
+            M[rows, cols] = vals
+            return pd.Series(list(M))
+
+        vecs = (
+            weighted.groupBy("__id")
+            .agg(
+                F.collect_list(F.col("__b").cast("int")).alias("__bs"),
+                F.collect_list(F.col("__w")).alias("__ws"),
+            )
+            .select("__id", _scatter(F.col("__bs"), F.col("__ws")).alias("__v"))
+        )
+    else:
+        raise ValueError(f"hashed_tfidf: unknown impl {impl!r}")
     if normalize:
+        # TWO projections, not one: referencing the norm FOLD directly
+        # inside the division transform re-evaluates the whole
+        # O(dim) aggregate once PER ELEMENT — O(dim^2) per doc, measured
+        # 3x the cost of the entire rest of the operator at dim=256
+        # (PLANS §46).  Materializing it as a column first makes it one
+        # fold per row (CollapseProject keeps non-cheap aliases with
+        # multiple uses in their own project).
         nrm = F.sqrt(
             F.aggregate(
                 F.transform(F.col("__v"), lambda x: x * x),
@@ -904,11 +959,14 @@ def hashed_tfidf(
                 lambda a, b: a + b,
             )
         )
-        vecs = vecs.select(
+        vecs = vecs.withColumn("__nrm", nrm).select(
             "__id",
             F.when(
-                nrm > 0, F.transform(F.col("__v"), lambda x: x / nrm)
-            ).otherwise(F.col("__v")).alias("__v"),
+                F.col("__nrm") > 0,
+                F.transform(F.col("__v"), lambda x: x / F.col("__nrm")),
+            )
+            .otherwise(F.col("__v"))
+            .alias("__v"),
         )
     if not attach:
         return vecs.select(F.col("__id").alias(id_col), F.col("__v").alias(out_col))

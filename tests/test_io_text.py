@@ -379,6 +379,18 @@ def test_hashed_tfidf_matches_replica_and_composes(spark):
         assert np.abs(got[did] - exp).max() < 1e-9
     assert got[4].sum() == 0.0  # zero-token doc
 
+    # impl='arrow' (numpy scatter assembly) and impl='expr' (pure
+    # codegen map fill) are value-IDENTICAL, normalization included
+    # (normalization itself is JVM-side in both)
+    ga = htext.hashed_tfidf(df, dim=dim, seed=seed, impl="arrow").orderBy(
+        "doc_id"
+    ).collect()
+    ge = htext.hashed_tfidf(df, dim=dim, seed=seed, impl="expr").orderBy(
+        "doc_id"
+    ).collect()
+    for ra, re_ in zip(ga, ge):
+        assert ra["tfidf"] == re_["tfidf"]
+
     # normalized vectors: twins are cosine-1, and the embedding-space
     # near-dup operator finds exactly that pair on the tfidf column
     outn = htext.hashed_tfidf(df, dim=dim, seed=seed, normalize=True)
