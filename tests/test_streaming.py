@@ -693,3 +693,37 @@ def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
     )
     assert dedup.dedup_against_index(probe, index_path).count() == 0
     assert dedup._read_meta(index_path)["batches"] == [0, 1, 2]
+
+
+def test_generic_sketch_stream_freqdir_bound(spark, tmp_path):
+    """Frequent Directions streams through generic_sketch_stream with NO
+    special-casing (a matrix-valued, array-column kind).  FD state is
+    shrink-order-dependent, so the gate is the kind's actual guarantee:
+    the streamed final sketch satisfies the PSD Gram sandwich
+    0 <= A^T A - B^T B <= (frob/ell) I against the exact Gram of
+    everything streamed, and frob_sq is exact."""
+    import numpy as np
+
+    from hllspark import similarity
+    from hllspark.sketches import freqdir
+
+    src = str(tmp_path / "src")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.select("embedding").repartition(3).write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+    sdf = spark.readStream.schema("embedding array<float>").parquet(src)
+    kind = freqdir.kind(ell=12, d=64)
+    out = streaming.generic_sketch_stream(sdf, "embedding", kind)
+    blobs = []
+
+    def sink(bdf, bid):
+        blobs.extend(bytes(r["sketch"]) for r in bdf.collect())
+
+    _run_stream(out, sink, str(tmp_path / "ckfd"))
+    assert blobs
+    st = freqdir.decode(blobs[-1])
+    G = similarity.gram_matrix(batch_df, 64)
+    ev = np.linalg.eigvalsh(G - freqdir.gram_estimate(st))
+    assert ev.min() > -1e-6
+    assert ev.max() <= freqdir.cov_error_bound(st) + 1e-9
+    assert abs(st.frob_sq - float(np.trace(G))) < 1e-6 * float(np.trace(G))
