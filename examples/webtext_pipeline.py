@@ -15,6 +15,8 @@ library surface in one runnable job:
          - heavy-hitter url hosts           (Misra-Gries)
     4b. curation: deterministic train/val/test split (hash-stable),
         n-gram decontamination of train vs test, BM25 spot-ranking
+    4j. all-text semantic pipeline: hashed TF-IDF -> frequent-directions
+        PCA -> SemDeDup on the projected vectors (no external model)
     5. snapshot-commit sketches with lineage; demonstrate resume
 
 Run: python examples/webtext_pipeline.py [n_rows]   (default 200_000)
@@ -315,6 +317,38 @@ def main() -> int:
     bpe_tokens = enc.agg(F.sum(F.size("bpe_tokens"))).collect()[0][0] or 0
     assert bpe_tokens > 0
 
+    # 4j. all-text semantic pipeline (round 5): hashed TF-IDF vectors ->
+    # frequent-directions one-pass PCA basis -> SemDeDup on the projected
+    # vectors — embedding-space dedup with no external model anywhere
+    from hllspark import similarity
+    from hllspark.sketches import freqdir
+
+    tv = text.hashed_tfidf(
+        kept.withColumn("did", F.xxhash64("url"))
+        .select("did", "text")
+        .limit(2000),
+        text_col="text",
+        id_col="did",
+        dim=64,
+        attach=False,
+    )
+    fd = freqdir.decode(
+        bytes(
+            similarity.fd_sketch(tv, 64, ell=16, vec_col="tfidf").first()[
+                "sketch"
+            ]
+        )
+    )
+    comps, _ = freqdir.top_directions(fd, 16)
+    proj = similarity.pca_project(tv, comps, vec_col="tfidf").select(
+        "did", F.col("projected").alias("embedding")
+    )
+    sem = similarity.semantic_dedup(
+        proj, dim=16, eps=0.999, n_clusters=8, id_col="did"
+    )
+    n_sem_in, n_sem_kept = proj.count(), sem.where("kept").count()
+    assert 0 < n_sem_kept <= n_sem_in
+
     # 5. snapshot + resume
     with tempfile.TemporaryDirectory() as tmp:
         writer = hio.SnapshotWriter(tmp)
@@ -352,6 +386,8 @@ def main() -> int:
         "ccnet_head_middle_kept": n_ccnet_kept,
         "bpe_merges": len(merges),
         "bpe_tokens_sample": int(bpe_tokens),
+        "tfidf_semantic_kept": int(n_sem_kept),
+        "tfidf_semantic_in": int(n_sem_in),
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary, default=str))
