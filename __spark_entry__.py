@@ -2625,6 +2625,33 @@ def _q_tfidf_vector_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_politeness_waves_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host politeness scheduling (round 5, hllspark/crawl.py
+    politeness_waves): deterministic per-doc URLs over four hosts,
+    per_wave=3; heavy_threshold=50 forces every host through the
+    skew-safe range-partitioned rank path (a mega-host must span tasks,
+    not own one), while the oracle states the SEMANTICS as the plain
+    one-window SQL — the same engine-runs-the-distributed-plan /
+    oracle-states-the-meaning contract as cap_per_group_docs.  The md5
+    wave order replicates bit-identically (sampling._md5_hex8)."""
+    from hllspark import crawl
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = crawl.politeness_waves(
+        urls, per_wave=3, heavy_threshold=50, num_partitions=8
+    )
+    return out.select("doc_id", "host", "wave").orderBy("doc_id")
+
+
 # Bump each round: rotates the contract tail through the driver's
 # 50-query correctness window (see COVERAGE.md "contract rotation").
 _ROUND = 5
@@ -2786,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_covariance_bound": _q_fd_covariance_bound,
         "fd_pca_project": _q_fd_pca_project,
         "tfidf_vector_stats": _q_tfidf_vector_stats,
+        "politeness_waves_urls": _q_politeness_waves_urls,
         "lang_id_markers": _q_lang_id_markers,
         "simhash_self_hamming": _q_simhash_self_hamming,
         "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
@@ -3977,6 +4005,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(SUM(u * u), 2) AS frob_sq, 8 AS r, 1 AS proj_ok "
             "FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS u "
             "FROM embeddings WHERE embedding IS NOT NULL)"
+        ),
+        "politeness_waves_urls": (
+            "WITH u AS (SELECT doc_id, "
+            "  'https://h' || CAST(doc_id % 4 AS VARCHAR) "
+            "  || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url, "
+            "  'h' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host "
+            "  FROM documents WHERE doc_id < 300), "
+            "r AS (SELECT doc_id, host, row_number() OVER ("
+            "  PARTITION BY host ORDER BY "
+            "  substring(md5(url || chr(31) || '0'), 1, 8), url) AS rn "
+            "  FROM u) "
+            "SELECT doc_id, host, CAST((rn - 1) // 3 AS BIGINT) AS wave "
+            "FROM r ORDER BY doc_id"
         ),
         "tfidf_vector_stats": (
             "WITH base AS (SELECT doc_id, list_filter("

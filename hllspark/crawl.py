@@ -263,3 +263,115 @@ def robots_filter(
     )
     allowed = F.col("__rules").isNull() | best.isNull() | (best["a"] == 1)
     return withr.where(allowed).drop("__host", "__rules")
+
+
+def politeness_waves(
+    df: DataFrame,
+    url_col: str = "url",
+    per_wave: int = 1,
+    seed: int = 0,
+    heavy_threshold: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-host politeness scheduling for a fetch frontier: assign every
+    URL a ``wave`` (0-based) such that each host contributes AT MOST
+    ``per_wave`` URLs per wave — a fetcher that executes wave k at
+    t0 + k*delay therefore bounds its request rate at per_wave/delay per
+    host (the RFC-9309-adjacent crawl-delay contract every polite
+    crawler keeps).  Every wave of a host except its last is exactly
+    full, so the schedule length per host is ceil(n_host / per_wave).
+
+    Returns ``df`` + (host string, wave long).  Assignment is
+    deterministic and engine-portable: URLs rank within their host by
+    (md5-hex8(url, seed), url) — the sampling._md5_hex8 draw, so path
+    prefixes do not cluster into the same wave.
+
+    Scale design: wave = floor((rank-1) / per_wave) needs the EXACT
+    dense per-host rank, and the naive row_number() over (partition by
+    host) puts a 100M-page mega-host in ONE task (the skew hazard
+    measured in PLANS §9).  The plan splits by measured size first —
+    one map-side-combined per-host count, then a bounded collect of
+    ONLY the hosts above ``heavy_threshold`` (<= corpus/threshold rows
+    by construction):
+
+    - light hosts (almost all of them) take the plain window — the
+      host-keyed exchange spreads them across tasks;
+    - heavy hosts take the ccnet_buckets rank shape: range-repartition
+      on (host, order, url) so a mega-host SPANS partitions,
+      per-partition row_number, a bounded (partition, heavy-host)
+      count collect, broadcast offsets, rank = local rank + offset.
+
+    With per_wave=1 and a frontier of seen-filtered, robots-allowed
+    URLs (``BloomSeenSet.ingest`` -> ``robots_filter`` -> this), the
+    output is a complete polite fetch plan."""
+    from pyspark.sql import Window
+
+    from .curation import url_host
+    from .sampling import _md5_hex8
+
+    if per_wave < 1:
+        raise ValueError("politeness_waves: per_wave must be >= 1")
+    base = df.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "__o", _md5_hex8([F.col(url_col)], seed)
+    )
+    heavy_rows = (
+        base.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > heavy_threshold)
+        .select("host")
+        .collect()
+    )
+    heavy = [r["host"] for r in heavy_rows]
+
+    # null hosts (malformed URLs) stay on the light path: a bare ~isin
+    # is NULL for them and would silently drop the rows from BOTH sides
+    light = (
+        base
+        if not heavy
+        else base.where(
+            ~F.col("host").isin(heavy) | F.col("host").isNull()
+        )
+    )
+    w = Window.partitionBy("host").orderBy("__o", url_col)
+    ranked = light.withColumn("__rn", F.row_number().over(w).cast("long"))
+
+    if heavy:
+        hv = base.where(F.col("host").isin(heavy))
+        hv = (
+            hv.repartitionByRange(num_partitions, "host", "__o", url_col)
+            if num_partitions
+            else hv.repartitionByRange("host", "__o", url_col)
+        )
+        pw = Window.partitionBy("__pid", "host").orderBy("__o", url_col)
+        local = (
+            hv.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__lrn", F.row_number().over(pw).cast("long"))
+            .localCheckpoint(eager=True)  # pin partition ids: the counts
+            # collect and the offset join below must see the SAME pids
+        )
+        counts = local.groupBy("__pid", "host").count().collect()
+        by_host: dict[str, list[tuple[int, int]]] = {}
+        for row in sorted(counts, key=lambda r: (r["host"], r["__pid"])):
+            by_host.setdefault(row["host"], []).append(
+                (row["__pid"], row["count"])
+            )
+        rows = []
+        for host, lst in by_host.items():
+            off = 0
+            for pid, c in lst:
+                rows.append((pid, host, off))
+                off += c
+        off_df = df.sparkSession.createDataFrame(
+            rows, "__pid int, host string, __off long"
+        )
+        heavy_ranked = (
+            local.join(F.broadcast(off_df), ["__pid", "host"])
+            .withColumn("__rn", F.col("__lrn") + F.col("__off"))
+            .drop("__pid", "__lrn", "__off")
+        )
+        ranked = ranked.unionByName(heavy_ranked)
+
+    return ranked.withColumn(
+        "wave",
+        F.floor((F.col("__rn") - F.lit(1)) / F.lit(int(per_wave))).cast("long"),
+    ).drop("__o", "__rn")

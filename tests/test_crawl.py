@@ -212,3 +212,62 @@ def test_robots_filter_wildcard_and_anchor(spark):
     kept = {r.url for r in robots_filter(pages, rules).collect()}
     for u, expect in urls:
         assert (u in kept) == expect, u
+
+
+def test_politeness_waves_bounds_and_determinism(spark):
+    """Every (host, wave) holds <= per_wave URLs, every wave of a host
+    except its last is exactly full, assignment is deterministic across
+    partitionings, and the result covers every input row exactly once."""
+    from hllspark.crawl import politeness_waves
+
+    rows = [
+        (f"https://h{i % 3}.example.com/p/{i}",) for i in range(90)
+    ] + [("https://lonely.example.net/only",)]
+    df = spark.createDataFrame(rows, "url string")
+    out = politeness_waves(df, per_wave=4).collect()
+    assert len(out) == 91
+    by_hw = {}
+    by_host = {}
+    for r in out:
+        by_hw.setdefault((r["host"], r["wave"]), []).append(r["url"])
+        by_host.setdefault(r["host"], []).append(r["wave"])
+    assert all(len(v) <= 4 for v in by_hw.values())
+    for host, waves in by_host.items():
+        n = len(waves)
+        full = n // 4
+        # waves 0..full-1 are exactly full; the remainder wave has n % 4
+        from collections import Counter
+
+        c = Counter(waves)
+        for k in range(full):
+            assert c[k] == 4
+        if n % 4:
+            assert c[full] == n % 4
+    # deterministic under repartitioning
+    out2 = politeness_waves(df.repartition(7), per_wave=4).collect()
+    assert {(r["url"], r["wave"]) for r in out2} == {
+        (r["url"], r["wave"]) for r in out
+    }
+
+
+def test_politeness_waves_heavy_path_equals_plain(spark):
+    """Forcing hosts through the range-partitioned heavy-host path
+    (threshold=5) yields EXACTLY the plain-window assignment — the
+    skew-safe rank is the same rank."""
+    from hllspark.crawl import politeness_waves
+
+    rows = [(f"https://big.example.com/p/{i}",) for i in range(40)] + [
+        (f"https://small.example.org/q/{i}",) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    plain = {
+        (r["url"], r["wave"])
+        for r in politeness_waves(df, per_wave=2).collect()
+    }
+    forced = {
+        (r["url"], r["wave"])
+        for r in politeness_waves(
+            df.repartition(5), per_wave=2, heavy_threshold=5, num_partitions=4
+        ).collect()
+    }
+    assert forced == plain
