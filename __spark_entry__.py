@@ -2652,6 +2652,29 @@ def _q_politeness_waves_urls(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "host", "wave").orderBy("doc_id")
 
 
+def _q_pagerank_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over a synthesized host link graph (round 5,
+    hllspark/crawl.py pagerank) — uniform teleport + dangling-mass
+    redistribution, 3 iterations: src hosts h0-h4, dst hosts h0-h6, so
+    h5/h6 are DANGLING (sink) nodes exercising the redistribution term.
+    The oracle replicates all three iterations literally in SQL
+    (per-iteration dangling scalar, contribution join, recurrence);
+    multi-edges count per-row on both sides."""
+    from hllspark import crawl
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 280)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 3 + 1) % 7).cast("string")
+        ).alias("dst"),
+    )
+    out = crawl.pagerank(edges, iters=3, damping=0.85)
+    return out.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
 # Bump each round: rotates the contract tail through the driver's
 # 50-query correctness window (see COVERAGE.md "contract rotation").
 _ROUND = 5
@@ -2814,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_pca_project": _q_fd_pca_project,
         "tfidf_vector_stats": _q_tfidf_vector_stats,
         "politeness_waves_urls": _q_politeness_waves_urls,
+        "pagerank_hosts": _q_pagerank_hosts,
         "lang_id_markers": _q_lang_id_markers,
         "simhash_self_hamming": _q_simhash_self_hamming,
         "minhash_lsh_near_dups": _q_minhash_lsh_near_dups,
@@ -4005,6 +4029,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ROUND(SUM(u * u), 2) AS frob_sq, 8 AS r, 1 AS proj_ok "
             "FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS u "
             "FROM embeddings WHERE embedding IS NOT NULL)"
+        ),
+        "pagerank_hosts": (
+            "WITH e AS (SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS s, "
+            "  'h' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS d "
+            "  FROM documents WHERE doc_id < 280), "
+            "nodes AS (SELECT DISTINCT s AS node FROM e "
+            "  UNION SELECT DISTINCT d FROM e), "
+            "deg AS (SELECT s AS node, count(*) AS dg FROM e GROUP BY s), "
+            "nn AS (SELECT count(*) AS n FROM nodes), "
+            "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn), "
+            "d1 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r0 r "
+            "  LEFT JOIN deg USING (node) WHERE deg.dg IS NULL), "
+            "c1 AS (SELECT e.d AS node, sum(r.rank / deg.dg) AS inc FROM e "
+            "  JOIN r0 r ON r.node = e.s JOIN deg ON deg.node = e.s "
+            "  GROUP BY e.d), "
+            "r1 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * "
+            "  (coalesce(c1.inc, 0) + d1.dang / nn.n) AS rank "
+            "  FROM nodes CROSS JOIN nn CROSS JOIN d1 "
+            "  LEFT JOIN c1 ON c1.node = nodes.node), "
+            "d2 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r1 r "
+            "  LEFT JOIN deg USING (node) WHERE deg.dg IS NULL), "
+            "c2 AS (SELECT e.d AS node, sum(r.rank / deg.dg) AS inc FROM e "
+            "  JOIN r1 r ON r.node = e.s JOIN deg ON deg.node = e.s "
+            "  GROUP BY e.d), "
+            "r2 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * "
+            "  (coalesce(c2.inc, 0) + d2.dang / nn.n) AS rank "
+            "  FROM nodes CROSS JOIN nn CROSS JOIN d2 "
+            "  LEFT JOIN c2 ON c2.node = nodes.node), "
+            "d3 AS (SELECT coalesce(sum(r.rank), 0) AS dang FROM r2 r "
+            "  LEFT JOIN deg USING (node) WHERE deg.dg IS NULL), "
+            "c3 AS (SELECT e.d AS node, sum(r.rank / deg.dg) AS inc FROM e "
+            "  JOIN r2 r ON r.node = e.s JOIN deg ON deg.node = e.s "
+            "  GROUP BY e.d), "
+            "r3 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * "
+            "  (coalesce(c3.inc, 0) + d3.dang / nn.n) AS rank "
+            "  FROM nodes CROSS JOIN nn CROSS JOIN d3 "
+            "  LEFT JOIN c3 ON c3.node = nodes.node) "
+            "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
         ),
         "politeness_waves_urls": (
             "WITH u AS (SELECT doc_id, "

@@ -375,3 +375,105 @@ def politeness_waves(
         "wave",
         F.floor((F.col("__rn") - F.lit(1)) / F.lit(int(per_wave))).cast("long"),
     ).drop("__o", "__rn")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank (Page et al. 1999) over a link graph — the original
+    crawl-frontier prioritization signal: rank hosts/URLs by incoming
+    link mass, fetch high-rank first (compose with
+    :func:`politeness_waves` by passing rank as its order).
+
+    Uniform-teleport formulation over the node set N = distinct(src) ∪
+    distinct(dst), with DANGLING mass redistributed uniformly each
+    iteration (nodes with no out-links — crawl frontiers are full of
+    them — would otherwise leak rank and the total would decay):
+
+      r'(v) = (1-d)/|N| + d * [ sum_{u->v} r(u)/deg(u)  +  D/|N| ]
+
+    where D = total rank on dangling nodes.  Total rank is conserved at
+    exactly 1.0 every iteration (pytest asserts it to 1e-9).
+
+    Plan shape (the 10^12-edge story): the edge table is the only big
+    thing.  Per iteration: ONE broadcast-eligible join of the current
+    rank table (|N| rows) onto edges, one map-side-combined
+    groupBy(dst).sum, one 1-row dangling aggregate.  Ranks/degrees are
+    node-sized, not edge-sized; with ``num_partitions`` both the edge
+    table and the rank table are pre-hash-partitioned on the join key
+    so every iteration's join reuses the same partitioning instead of
+    re-exchanging the edges (the pay-the-shuffle-once shape of
+    io.write_bucketed, in-plan).  Each iteration ends in a
+    localCheckpoint of the |N|-row rank table — O(log-free lineage),
+    without it the plan doubles per iteration.
+
+    Returns (node string-or-whatever, rank double).  Deterministic:
+    pure arithmetic, no sampling."""
+    if iters < 1:
+        raise ValueError("pagerank: iters must be >= 1")
+    if not (0.0 <= damping < 1.0):
+        raise ValueError("pagerank: damping must be in [0, 1)")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).where(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+    if num_partitions:
+        e = e.repartition(num_partitions, "__s")
+    e = e.localCheckpoint(eager=True)  # the edge table is scanned every
+    # iteration: pin it once instead of re-reading/re-shuffling source
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    if num_partitions:
+        nodes = nodes.repartition(num_partitions, "node")
+    deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base = nodes.join(deg, "node", "left").localCheckpoint(eager=True)
+    n_nodes = base.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = base.select(
+        "node", "__deg", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        dangling = (
+            ranks.where(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(
+                ranks.where(F.col("__deg").isNotNull()).select(
+                    F.col("node").alias("__s"),
+                    (F.col("rank") / F.col("__deg")).alias("__c"),
+                ),
+                "__s",
+            )
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            base.select("node", "__deg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "__deg",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.lit(dangling / n_nodes)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

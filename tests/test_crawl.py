@@ -271,3 +271,39 @@ def test_politeness_waves_heavy_path_equals_plain(spark):
         ).collect()
     }
     assert forced == plain
+
+
+def test_pagerank_matches_reference_and_conserves_mass(spark):
+    """pagerank == a literal python transcription of the uniform-teleport
+    + dangling-redistribution recurrence, iteration for iteration (exact
+    to float); total rank is conserved at 1.0; the pre-partitioned path
+    (num_partitions) is value-identical."""
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("c", "f"),  # f is dangling (no out-links)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from hllspark.crawl import pagerank
+
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out: dict[str, int] = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n, d = len(nodes), 0.85
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        dang = sum(r[v] for v in nodes if v not in out)
+        inc = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inc[t] += r[s] / out[s]
+        r = {v: (1 - d) / n + d * (inc[v] + dang / n) for v in nodes}
+
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert max(abs(got[v] - r[v]) for v in nodes) < 1e-12
+    got2 = {
+        x["node"]: x["rank"]
+        for x in pagerank(df.repartition(3), iters=10, num_partitions=4).collect()
+    }
+    assert got2 == got
