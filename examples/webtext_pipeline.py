@@ -303,6 +303,24 @@ def main() -> int:
         n_first = seen.ingest(allowed, "url").count()
         assert n_first == n_robots_kept
         assert seen.ingest(allowed, "url").count() == 0
+        # polite fetch plan for the admitted frontier: <=2 URLs per
+        # (host, wave); and PageRank over the host graph as the
+        # fetch-priority signal (rank mass conserved at 1.0)
+        waves = crawl.politeness_waves(allowed, per_wave=2)
+        over = (
+            waves.groupBy("host", "wave")
+            .count()
+            .where(F.col("count") > 2)
+            .count()
+        )
+        assert over == 0
+        hosts = waves.select("host").distinct()
+        edges = hosts.alias("a").crossJoin(hosts.alias("b")).select(
+            F.col("a.host").alias("src"), F.col("b.host").alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        pr = crawl.pagerank(edges, iters=2)
+        total_rank = pr.agg(F.sum("rank")).collect()[0][0]
+        assert abs(total_rank - 1.0) < 1e-9
     tiers = curation.ccnet_buckets(
         balanced.withColumn("did", F.xxhash64("url")),
         id_col="did", n_buckets=3, num_partitions=8,
