@@ -322,21 +322,27 @@ def politeness_waves(
         .collect()
     )
     heavy = [r["host"] for r in heavy_rows]
-
-    # null hosts (malformed URLs) stay on the light path: a bare ~isin
-    # is NULL for them and would silently drop the rows from BOTH sides
-    light = (
-        base
-        if not heavy
-        else base.where(
-            ~F.col("host").isin(heavy) | F.col("host").isNull()
+    # the split is a BROADCAST anti/semi join on the heavy-host list,
+    # never an isin literal: at frontier scale the list is bounded by
+    # corpus/threshold, which can still be ~10^6 hosts — an expression
+    # that large breaks codegen, a broadcast hash join does not.  Null
+    # hosts (malformed URLs) fall through the anti join onto the light
+    # path, where the window handles them as one ordinary group.
+    heavy_df = (
+        F.broadcast(
+            base.sparkSession.createDataFrame(
+                [(h,) for h in heavy], "host string"
+            )
         )
+        if heavy
+        else None
     )
+    light = base if heavy_df is None else base.join(heavy_df, "host", "left_anti")
     w = Window.partitionBy("host").orderBy("__o", url_col)
     ranked = light.withColumn("__rn", F.row_number().over(w).cast("long"))
 
     if heavy:
-        hv = base.where(F.col("host").isin(heavy))
+        hv = base.join(heavy_df, "host", "left_semi")
         hv = (
             hv.repartitionByRange(num_partitions, "host", "__o", url_col)
             if num_partitions
