@@ -197,6 +197,19 @@ def main() -> None:
     langid_w.count(), langid_stats.count()
     pages_100k_ids = pages_100k.withColumn("rid", F.xxhash64("text"))
 
+    # synthetic link graph for q27 (pagerank): 2M edges over 100k nodes,
+    # Knuth-hash destinations so in-degree is spread; materialized to
+    # parquet ONCE, untimed, like the pages fixture
+    from hllspark import crawl as hcrawl
+
+    edges_path = "/tmp/hllspark_bench_edges_2m"
+    if not os.path.exists(f"{edges_path}/_SUCCESS"):
+        spark.range(2_000_000).select(
+            (F.col("id") % 100_000).cast("string").alias("src"),
+            ((F.col("id") * 2654435761) % 100_000).cast("string").alias("dst"),
+        ).write.mode("overwrite").parquet(edges_path)
+    pr_edges = spark.read.parquet(edges_path)
+
     # planted-skew corpus for q9: one document duplicated 2000x
     one_text = documents.where(F.col("doc_id") == 0).first()["text"]
     poisoned_docs = (
@@ -444,6 +457,14 @@ def main() -> None:
         )
         .select(F.max(F.xxhash64(extract_text_html(F.col("html")))))
         .collect(),
+        # PageRank over a 2M-edge / 100k-node synthetic link graph, 2
+        # iterations — the iterative-join shape (rank-onto-edges join +
+        # map-side-combined groupBy(dst) + per-iteration checkpoint)
+        "q27_pagerank_2m_edges": lambda: hcrawl.pagerank(
+            pr_edges, iters=2, num_partitions=CPUS
+        )
+        .agg(F.sum("rank"))
+        .collect(),
         # hashed TF-IDF vectorization (text -> embedding bridge): full
         # tf/idf/dense-assembly over the 100k slice at dim=256; the max
         # over per-doc squared norms forces every vector to materialize
@@ -548,6 +569,9 @@ def main() -> None:
         ),
         "tfidf_docs_per_sec": round(
             n_pages_100k / results["q26_tfidf_100k"]
+        ),
+        "pagerank_edges_per_iter_per_sec": round(
+            2_000_000 / results["q27_pagerank_2m_edges"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]
