@@ -272,6 +272,7 @@ def politeness_waves(
     seed: int = 0,
     heavy_threshold: int = 1_000_000,
     num_partitions: int | None = None,
+    host_col: str | None = None,
 ) -> DataFrame:
     """Per-host politeness scheduling for a fetch frontier: assign every
     URL a ``wave`` (0-based) such that each host contributes AT MOST
@@ -281,10 +282,13 @@ def politeness_waves(
     crawler keeps).  Every wave of a host except its last is exactly
     full, so the schedule length per host is ceil(n_host / per_wave).
 
-    Returns ``df`` + (host string, wave long).  Assignment is
-    deterministic and engine-portable: URLs rank within their host by
-    (md5-hex8(url, seed), url) — the sampling._md5_hex8 draw, so path
-    prefixes do not cluster into the same wave.
+    Returns ``df`` + (host string, wave long).  Pass ``host_col`` to
+    group by an existing column instead of deriving ``host`` from the
+    URL — required if ``df`` already carries a column named ``host``
+    (the derivation would otherwise silently replace it).  Assignment
+    is deterministic and engine-portable: URLs rank within their host
+    by (md5-hex8(url, seed), url) — the sampling._md5_hex8 draw, so
+    path prefixes do not cluster into the same wave.
 
     Scale design: wave = floor((rank-1) / per_wave) needs the EXACT
     dense per-host rank, and the naive row_number() over (partition by
@@ -311,9 +315,21 @@ def politeness_waves(
 
     if per_wave < 1:
         raise ValueError("politeness_waves: per_wave must be >= 1")
-    base = df.withColumn("host", url_host(F.col(url_col))).withColumn(
-        "__o", _md5_hex8([F.col(url_col)], seed)
-    )
+    if host_col is None and "host" in df.columns:
+        raise ValueError(
+            "politeness_waves: df already has a 'host' column — pass "
+            "host_col='host' to use it (or rename it) rather than have "
+            "the URL-derived host silently replace it"
+        )
+    base = (
+        df.withColumnRenamed(host_col, "host")
+        if host_col is not None and host_col != "host"
+        else (
+            df
+            if host_col == "host"
+            else df.withColumn("host", url_host(F.col(url_col)))
+        )
+    ).withColumn("__o", _md5_hex8([F.col(url_col)], seed))
     heavy_rows = (
         base.groupBy("host")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -307,3 +307,21 @@ def test_pagerank_matches_reference_and_conserves_mass(spark):
         for x in pagerank(df.repartition(3), iters=10, num_partitions=4).collect()
     }
     assert got2 == got
+
+
+def test_politeness_waves_host_col_passthrough(spark):
+    """An existing host column must be used via host_col, never silently
+    clobbered by the URL-derived host."""
+    import pytest as _pytest
+
+    from hllspark.crawl import politeness_waves
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/1", "groupX"), ("https://b.example.com/2", "groupX")],
+        "url string, host string",
+    )
+    with _pytest.raises(ValueError, match="host_col"):
+        politeness_waves(df)
+    out = politeness_waves(df, per_wave=1, host_col="host").collect()
+    assert {r["host"] for r in out} == {"groupX"}
+    assert sorted(r["wave"] for r in out) == [0, 1]  # same group -> 2 waves
