@@ -1133,8 +1133,6 @@ def gram_matrix(corpus: DataFrame, dim: int, vec_col: str = "embedding"):
         .agg(F.sum("s").alias("s"))
         .collect()
     )
-    import numpy as np  # noqa: F811 — local import pattern of this module
-
     G = np.zeros((dim, dim))
     for r in rows:
         G[r.i, r.j] = r.s
