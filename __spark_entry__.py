@@ -2056,6 +2056,50 @@ def _q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_priority_sample_members(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority sampling sketch (Duffield-Lund-Thorup JACM'07,
+    hllspark/sketches/priority.py): the k=100 mergeable weighted sample
+    of documents by n_chars.  Priorities are md5-seeded (w / u with u the
+    52-bit md5 uniform), so the oracle reproduces EXACT membership with
+    ORDER BY priority DESC LIMIT k — the same engine-portability argument
+    as weighted_sample_docs, but for the bounded mergeable sketch."""
+    from hllspark.sketches import priority
+
+    docs = _t(spark, sf, "documents")
+    sk = priority.sample_agg(docs, "doc_id", "n_chars", k=100, seed=5)
+    return (
+        priority.sample_table(sk)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("weight").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_priority_sample_lang_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """The point of priority sampling: UNBIASED subset-sum estimates from
+    ONE k=200 sample — per-lang estimated total n_chars computed as
+    sum(max(w, tau)) over the sampled docs of each lang (DLT'07 Thm 1),
+    where tau is the (k+1)-th largest priority.  The sketch is the only
+    thing scanned-side; the tiny sample broadcast-joins back to the
+    documents table for the lang attribute.  The oracle replicates tau
+    and every per-item contribution bit-for-bit."""
+    from hllspark.sketches import priority
+
+    docs = _t(spark, sf, "documents")
+    sk = priority.sample_agg(docs, "doc_id", "n_chars", k=200, seed=7)
+    sample = priority.sample_table(sk).select(
+        F.col("id").cast("long").alias("doc_id"), "est_weight"
+    )
+    return (
+        docs.join(F.broadcast(sample), "doc_id")
+        .groupBy("lang")
+        .agg(F.round(F.sum("est_weight"), 4).alias("est_chars"))
+        .orderBy("lang")
+    )
+
+
 def _q_cm_join_size_within_bound(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min inner-product join-cardinality estimate (Cormode &
     Muthukrishnan '05) for the events self-join on user_id: never below
@@ -2821,6 +2865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles_by_type": _q_approx_quantiles_by_type,
         "multi_distinct_within_bound": _q_multi_distinct_within_bound,
         "kmv_overlap_within_bound": _q_kmv_overlap_within_bound,
+        "priority_sample_members": _q_priority_sample_members,
+        "priority_sample_lang_totals": _q_priority_sample_lang_totals,
         "jr_build_estimate": _q_jr_build_estimate,
         "winnow_fingerprint_props": _q_winnow_fingerprint_props,
         "html_extract_roundtrip": _q_html_extract_roundtrip,
@@ -3562,6 +3608,30 @@ def oracle_sql() -> dict[str, str]:
             "/ CAST(n_chars AS DOUBLE) AS pri "
             "FROM documents WHERE n_chars > 0 ORDER BY pri LIMIT 100) "
             "ORDER BY doc_id"
+        ),
+        "priority_sample_members": (
+            "SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars FROM ("
+            "SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) / "
+            "((CAST(concat('0x', substring(md5(concat_ws(chr(31), "
+            "CAST(doc_id AS VARCHAR), '5')), 1, 13)) AS BIGINT) + 1) "
+            "/ 4503599627370496.0) AS pri "
+            "FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL "
+            "ORDER BY pri DESC, CAST(doc_id AS VARCHAR) LIMIT 100) "
+            "ORDER BY doc_id"
+        ),
+        "priority_sample_lang_totals": (
+            "WITH pri AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w, "
+            "CAST(n_chars AS DOUBLE) / "
+            "((CAST(concat('0x', substring(md5(concat_ws(chr(31), "
+            "CAST(doc_id AS VARCHAR), '7')), 1, 13)) AS BIGINT) + 1) "
+            "/ 4503599627370496.0) AS q "
+            "FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL), "
+            "ranked AS (SELECT *, row_number() OVER "
+            "(ORDER BY q DESC, CAST(doc_id AS VARCHAR)) AS rn FROM pri), "
+            "tau AS (SELECT coalesce(max(q) FILTER (WHERE rn = 201), 0.0) "
+            "AS t FROM ranked) "
+            "SELECT lang, round(sum(greatest(w, t)), 4) AS est_chars "
+            "FROM ranked, tau WHERE rn <= 200 GROUP BY lang ORDER BY lang"
         ),
         "cm_join_size_within_bound": (
             "SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size, "

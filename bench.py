@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from hllspark import agg, curation, decontam, dedup, joins, sessions, similarity
+from hllspark.sketches import priority as psample
 from hllspark.text import extract_text_html, hashed_tfidf, token_count
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -465,6 +466,19 @@ def main() -> None:
         )
         .agg(F.sum("rank"))
         .collect(),
+        # priority-sampling sketch (DLT'07): per-lang k=1024 mergeable
+        # weighted sample of all 2M pages by text length — scan + md5
+        # priority column + one sketch-row-per-(partition,lang) shuffle
+        "q28_priority_sample_2m": lambda: psample.sample_agg(
+            pages.withColumn("w", F.length("text").cast("double")),
+            "url",
+            "w",
+            k=1024,
+            keys=["lang"],
+            seed=3,
+        )
+        .select(F.sum(F.length("sketch")))
+        .collect(),
         # hashed TF-IDF vectorization (text -> embedding bridge): full
         # tf/idf/dense-assembly over the 100k slice at dim=256; the max
         # over per-doc squared norms forces every vector to materialize
@@ -572,6 +586,9 @@ def main() -> None:
         ),
         "pagerank_edges_per_iter_per_sec": round(
             2_000_000 / results["q27_pagerank_2m_edges"]
+        ),
+        "priority_sample_rows_per_sec": round(
+            2_000_000 / results["q28_priority_sample_2m"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]

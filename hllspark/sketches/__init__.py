@@ -1,9 +1,11 @@
 """Extended mergeable-sketch family (north_rule): count-min, count-sketch
 (+ AMS F2 / unbiased join-size), Bloom, KLL quantiles, t-digest,
 Misra-Gries heavy hitters, KMV set operations, the CPC coupon sketch
-(Lang'17), and Frequent Directions (Liberty'13 — the matrix/covariance
-member, one-pass PCA over embedding columns) — each a core + the shared
-two-phase Spark plan (hllspark.sketches.generic).
+(Lang'17), Frequent Directions (Liberty'13 — the matrix/covariance
+member, one-pass PCA over embedding columns), and priority sampling
+(Duffield-Lund-Thorup'07 — the mergeable weighted sample with unbiased
+subset-sum estimation) — each a core + the shared two-phase Spark plan
+(hllspark.sketches.generic).
 """
 
 from . import (
@@ -16,6 +18,7 @@ from . import (
     kll,
     kmv,
     misragries,
+    priority,
     tdigest,
 )
 
@@ -29,5 +32,6 @@ __all__ = [
     "kll",
     "kmv",
     "misragries",
+    "priority",
     "tdigest",
 ]
