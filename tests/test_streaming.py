@@ -727,3 +727,45 @@ def test_generic_sketch_stream_freqdir_bound(spark, tmp_path):
     assert ev.min() > -1e-6
     assert ev.max() <= freqdir.cov_error_bound(st) + 1e-9
     assert abs(st.frob_sq - float(np.trace(G))) < 1e-6 * float(np.trace(G))
+
+
+def test_priority_sample_stream_ingest_byte_identical(spark, tmp_path):
+    """Priority-sampling sketch at ingest: each micro-batch is sampled
+    with sample_agg and folded into a running sketch in foreachBatch —
+    the dedup-at-ingest shape a crawler runs.  Deterministic md5
+    priorities make the state exactly partition- AND batch-invariant,
+    so the streamed accumulation must equal the batch one-shot byte for
+    byte, per group."""
+    from hllspark.sketches import priority
+
+    src = str(tmp_path / "src")
+    df = spark.range(4000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (1.0 + (F.col("id") % 97)).alias("w"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+    sdf = (
+        spark.readStream.schema("url string, lang string, w double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    acc: dict = {}
+
+    def sink(bdf, bid):
+        for r in priority.sample_agg(
+            bdf, "url", "w", k=32, keys=["lang"], seed=6
+        ).collect():
+            st = priority.decode(bytes(r["sketch"]))
+            prev = acc.get(r["lang"])
+            acc[r["lang"]] = st if prev is None else priority.merge(prev, st)
+
+    _run_stream(sdf, sink, str(tmp_path / "ckps"))
+    expected = {
+        r["lang"]: bytes(r["sketch"])
+        for r in priority.sample_agg(
+            batch_df, "url", "w", k=32, keys=["lang"], seed=6
+        ).collect()
+    }
+    assert {g: priority.encode(s) for g, s in acc.items()} == expected
