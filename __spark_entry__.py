@@ -74,13 +74,20 @@ def _q_hll_users_by_type_estimate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _within_bound(est_df: DataFrame, exact_df: DataFrame, key: str) -> DataFrame:
+    # relative 3-sigma HLL bound, plus the linear-counting small-n slack:
+    # at n << m the estimator is linear counting, whose error events are
+    # whole register collisions — E[collisions] = n^2/2m, each an O(1)
+    # ABSOLUTE error — so a tiny group (e.g. 15 users at sf0.001) may sit
+    # 1 register off while being exactly as accurate as the algorithm
+    # promises.  abs err <= 2 only matters for n <= 2/_BOUND (~82 at
+    # p=12); at driver scale the relative bound dominates unchanged.
     j = est_df.join(exact_df, key)
     return (
         j.select(
             key,
             (
-                (F.abs(F.col("distinct_estimate") - F.col("exact")) / F.col("exact"))
-                <= F.lit(_BOUND)
+                F.abs(F.col("distinct_estimate") - F.col("exact"))
+                <= F.greatest(F.lit(_BOUND) * F.col("exact"), F.lit(2.0))
             )
             .cast("int")
             .alias("within_bound"),
@@ -909,6 +916,24 @@ def _q_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
         "pixel_mean double",
     )
     return out.orderBy("media_id")
+
+
+def _q_y4m_frame_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video frame sampling end-to-end (round 5): synthesize Y4M
+    streams whose frame content is closed-form (y4m_frame_value),
+    frame-sample every 5th frame with frame_sample_stats (header-token
+    parse + FRAME-marker walk + luma-plane slicing — no codec library),
+    and report per-sampled-frame luma statistics.  The DuckDB oracle
+    recomputes the identical statistics from the pixel formula with
+    range joins, so a wrong byte anywhere in the container walk or plane
+    slicing breaks the value hash (mirror of png/jpeg_decode_stats;
+    closes the last multimodal decode seam — frame_sample_plan's decode
+    step is no longer stubbed)."""
+    from hllspark import multimodal as mm
+
+    vids = mm.synthesize_video_containers(spark, 40)
+    out = mm.frame_sample_stats(vids, every_n=5)
+    return out.orderBy("media_id", "frame_idx")
 
 
 def _q_warc_read_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -2856,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_header_stats": _q_media_header_stats,
         "png_decode_stats": _q_png_decode_stats,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
+        "y4m_frame_sample_stats": _q_y4m_frame_sample_stats,
         "warc_read_stats": _q_warc_read_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
@@ -4012,6 +4038,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(h AS INT) AS height, CAST(sum(v) AS BIGINT) AS pixel_sum, "
             "avg(v) AS pixel_mean "
             "FROM px GROUP BY 1, 2, 3 ORDER BY media_id"
+        ),
+        "y4m_frame_sample_stats": (
+            "WITH vids AS (SELECT r.range AS id, "
+            "  CAST(r.range % 24 + 4 AS BIGINT) AS w, "
+            "  CAST(r.range % 12 + 2 AS BIGINT) AS h, "
+            "  CAST(r.range % 16 + 3 AS BIGINT) AS nf "
+            "  FROM range(40) r), "
+            "frames AS (SELECT id, w, h, f.range AS fi FROM vids, range(18) f "
+            "  WHERE f.range < nf AND f.range % 5 = 0), "
+            "px AS (SELECT id, fi, w, h, "
+            "  (id + 7 * fi + 11 * y.range + 13 * x.range) % 256 AS v "
+            "  FROM frames, range(13) y, range(27) x "
+            "  WHERE y.range < h AND x.range < w) "
+            "SELECT id AS media_id, CAST(fi AS INT) AS frame_idx, "
+            "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+            "CAST(sum(v) AS BIGINT) AS luma_sum, avg(v) AS luma_mean "
+            "FROM px GROUP BY 1, 2, 3, 4 ORDER BY media_id, frame_idx"
         ),
         "warc_read_stats": (
             "SELECT 'https://w' || CAST(r.range % 7 AS VARCHAR) || "

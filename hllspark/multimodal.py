@@ -4,10 +4,11 @@ Media payloads are opaque ``binary`` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 functions over mapInPandas.  ``decoder='real'`` performs REAL decodes with
 zero codec libraries: PNG (zlib + numpy defiltering), WAV PCM16 (raw
-slicing) and baseline JPEG (numpy Huffman + dequant + IDCT + YCbCr,
-``decode_jpeg``); only video still needs an external container/codec
-stack and says so.  ``decoder='fake'`` keeps a deterministic byte-pattern
-stand-in for pure plumbing tests.
+slicing), baseline JPEG (numpy Huffman + dequant + IDCT + YCbCr,
+``decode_jpeg``) and Y4M video (header tokens + planar frame slicing,
+``decode_y4m`` / ``frame_sample_stats``); only COMPRESSED video (mp4/avi)
+still needs an external codec stack and says so.  ``decoder='fake'``
+keeps a deterministic byte-pattern stand-in for pure plumbing tests.
 """
 
 from __future__ import annotations
@@ -105,10 +106,13 @@ def extract_features(
                     raw = decode_wav(b)[1].astype(np.float32)
                 elif fmt == "jpeg":
                     raw = decode_jpeg(b).astype(np.float32).ravel()
+                elif fmt == "y4m":
+                    raw = decode_y4m(b)[1].astype(np.float32).ravel()
                 else:
                     raise NotImplementedError(
-                        f"real decode of {fmt!r} requires a codec/container "
-                        "library (video) — outside this engine's scope"
+                        f"real decode of {fmt!r} requires a codec library "
+                        "(compressed video: mp4/avi) — outside this "
+                        "engine's scope; uncompressed y4m decodes for real"
                     )
                 feats.append(_bucket_means(raw))
             yield pd.DataFrame(
@@ -143,6 +147,7 @@ def frame_sample_plan(
 _MAGICS = [
     ("png", b"\x89PNG\r\n\x1a\n"),
     ("jpeg", b"\xff\xd8\xff"),
+    ("y4m", b"YUV4MPEG2"),
     ("gif", b"GIF8"),
     ("riff", b"RIFF"),   # wav/avi/webp container; refined below
     ("mp4", None),       # ftyp at offset 4
@@ -229,7 +234,15 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
         for b in payloads:
             b = bytes(b) if b is not None else b""
             fmt = sniff_format(b)
-            dims = png_dims(b) if fmt == "png" else jpeg_dims(b) if fmt == "jpeg" else None
+            if fmt == "png":
+                dims = png_dims(b)
+            elif fmt == "jpeg":
+                dims = jpeg_dims(b)
+            elif fmt == "y4m":
+                yp = y4m_params(b)
+                dims = (yp["width"], yp["height"]) if yp else None
+            else:
+                dims = None
             rows.append(
                 {
                     "format": fmt,
@@ -825,6 +838,212 @@ def synthesize_media_containers(
                         make_wav(8000 + (i % 4) * 8000, seed=i,
                                  n_samples=160 + i % 100)
                     )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return spark.range(n, numPartitions=num_partitions).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video — REAL container parse + frame decode (round 5).
+# Y4M is the uncompressed interchange format every video toolchain speaks
+# (ffmpeg -f yuv4mpegpipe, mjpegtools): a one-line ASCII stream header,
+# then per-frame "FRAME[ params]\n" markers followed by raw planar YUV.
+# No entropy coding, so the decode is pure byte arithmetic — the same
+# no-codec-library play as decode_png/decode_jpeg.  This closes the last
+# multimodal seam: frame sampling below is REAL (it slices actual luma
+# planes), not the explode-only plan of frame_sample_plan.
+# ---------------------------------------------------------------------------
+
+# bytes per frame for the colorspaces we decode (luma plane is always the
+# first w*h bytes; chroma layout only affects the per-frame stride)
+_Y4M_CHROMA_FACTOR = {
+    "mono": 1.0,
+    "420": 1.5, "420jpeg": 1.5, "420mpeg2": 1.5, "420paldv": 1.5,
+    "422": 2.0,
+    "444": 3.0,
+}
+
+
+def y4m_frame_value(seed: int, f, y, x):
+    """Closed-form luma of pixel (y, x) in frame f of fixture video
+    ``seed`` — SQL-replicable, so oracles recompute decoded-frame
+    statistics exactly (mirror of png_pixel / jpeg_block_value)."""
+    return (seed + 7 * f + 11 * y + 13 * x) % 256
+
+
+def make_y4m(width: int, height: int, n_frames: int, seed: int | None = None) -> bytes:
+    """FULLY VALID YUV4MPEG2 Cmono stream whose frame f luma plane is
+    y4m_frame_value(seed, f, y, x) — real header tokens (W/H/F/I/A/C),
+    real FRAME markers, playable by any y4m consumer."""
+    s = 0 if seed is None else int(seed)
+    yy, xx = np.mgrid[0:height, 0:width]
+    parts = [
+        b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (width, height)
+    ]
+    base = (s + 11 * yy + 13 * xx) % 256
+    for f in range(n_frames):
+        plane = ((base + 7 * f) % 256).astype(np.uint8)
+        parts.append(b"FRAME\n" + plane.tobytes())
+    return b"".join(parts)
+
+
+def y4m_params(payload: bytes) -> dict | None:
+    """Stream parameters from the YUV4MPEG2 header line: dict with
+    width, height, fps_num, fps_den, colorspace, n_frames.  n_frames
+    comes from a pointer walk over the FRAME markers (O(frames) header
+    reads, zero plane bytes touched)."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    width = height = None
+    fps_num, fps_den = 0, 1
+    colorspace = "420jpeg"  # the Y4M spec default when C is absent
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[:1] == "W":
+            width = int(t[1:])
+        elif t[:1] == "H":
+            height = int(t[1:])
+        elif t[:1] == "F" and ":" in t:
+            a, b = t[1:].split(":", 1)
+            fps_num, fps_den = int(a), int(b)
+        elif t[:1] == "C":
+            colorspace = t[1:]
+    if not width or not height:
+        return None
+    factor = _Y4M_CHROMA_FACTOR.get(colorspace)
+    n_frames = 0
+    if factor is not None:
+        frame_size = int(width * height * factor)
+        pos = nl + 1
+        n = len(payload)
+        while pos < n and payload[pos : pos + 5] == b"FRAME":
+            fnl = payload.find(b"\n", pos)
+            if fnl < 0 or fnl + 1 + frame_size > n:
+                break
+            n_frames += 1
+            pos = fnl + 1 + frame_size
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": colorspace,
+        "n_frames": n_frames,
+    }
+
+
+def _y4m_luma_offsets(payload: bytes) -> tuple[dict, list[int]]:
+    """(params, [luma-plane offset per frame]).  Offsets only — callers
+    slice just the frames they sample, so a stride-30 sample of a long
+    video reads ~1/30 of the plane bytes (the frame walk itself touches
+    6-byte markers, not planes)."""
+    p = y4m_params(payload)
+    if p is None:
+        raise ValueError("not a YUV4MPEG2 stream")
+    factor = _Y4M_CHROMA_FACTOR.get(p["colorspace"])
+    if factor is None:
+        raise NotImplementedError(
+            f"y4m colorspace {p['colorspace']!r} not supported "
+            "(mono/420*/422/444 are)"
+        )
+    frame_size = int(p["width"] * p["height"] * factor)
+    offsets: list[int] = []
+    pos = payload.find(b"\n") + 1
+    n = len(payload)
+    while pos < n and payload[pos : pos + 5] == b"FRAME":
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > n:
+            break
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_size
+    return p, offsets
+
+
+def decode_y4m(payload: bytes, every_n: int = 1) -> tuple[dict, np.ndarray]:
+    """(params, luma) where luma is (n_sampled, h, w) uint8 — frames
+    0, every_n, 2*every_n, …  Chroma planes are skipped by stride (luma
+    is the standard frame-sampling feature input); only sampled planes
+    are materialized."""
+    p, offsets = _y4m_luma_offsets(payload)
+    w, h = p["width"], p["height"]
+    plane = w * h
+    sampled = offsets[::every_n] if every_n > 1 else offsets
+    out = np.empty((len(sampled), h, w), dtype=np.uint8)
+    for i, off in enumerate(sampled):
+        out[i] = np.frombuffer(payload, dtype=np.uint8, count=plane, offset=off).reshape(h, w)
+    return p, out
+
+
+def frame_sample_stats(
+    df: DataFrame,
+    every_n: int = 30,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL frame sampling over Y4M payloads: one row per sampled frame
+    with its decoded luma statistics.  Arrow-batched mapInPandas; per
+    payload the cost is O(n_frames) marker walks + O(sampled) plane
+    bytes.  At 100 TB the input should be a binaryFile / blob-store scan
+    partitioned by object — each video decodes independently, so the op
+    is embarrassingly parallel with zero shuffle before any downstream
+    agg (upgrade of frame_sample_plan, whose decode step was the one
+    stubbed edge of the round-2 multimodal surface)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                if not b.startswith(b"YUV4MPEG2"):
+                    continue
+                p, offsets = _y4m_luma_offsets(b)
+                w, h = p["width"], p["height"]
+                plane = w * h
+                for fi in range(0, len(offsets), every_n):
+                    luma = np.frombuffer(
+                        b, dtype=np.uint8, count=plane, offset=offsets[fi]
+                    )
+                    s = int(luma.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            id_col: int(mid),
+                            "frame_idx": fi,
+                            "width": w,
+                            "height": h,
+                            "luma_sum": s,
+                            "luma_mean": s / plane,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} bigint, frame_idx int, width int, height int, "
+        "luma_sum bigint, luma_mean double",
+    )
+
+
+def synthesize_video_containers(
+    spark, n: int, num_partitions: int = 8
+) -> DataFrame:
+    """Deterministic Y4M video table: video id has width=id%24+4,
+    height=id%12+2, n_frames=id%16+3, luma = y4m_frame_value(id,..) —
+    closed-form, so SQL oracles recompute sampled-frame statistics
+    exactly (mirror of synthesize_media_containers)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = [
+                make_y4m(int(i) % 24 + 4, int(i) % 12 + 2, int(i) % 16 + 3, seed=int(i))
+                for i in ids
+            ]
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return spark.range(n, numPartitions=num_partitions).mapInPandas(

@@ -1191,3 +1191,70 @@ def test_semantic_dedup_arrow_equals_expr(spark, emb):
         ).collect()
     )
     assert a == b
+
+
+def test_y4m_video_codec(spark):
+    """Round-5 Y4M video path: container round-trip is bit-exact, the
+    sampled decode touches only sampled planes, chroma'd colorspaces
+    stride correctly, header metadata flows through with_media_metadata,
+    and frame_sample_stats equals a full-decode recomputation."""
+    import numpy as np
+
+    from hllspark import multimodal as mm
+
+    # bit-exact round trip across sizes, including 1x1 and single-frame
+    for seed, w, h, nf in ((0, 8, 4, 3), (9, 27, 13, 18), (5, 1, 1, 1)):
+        b = mm.make_y4m(w, h, nf, seed=seed)
+        assert mm.sniff_format(b) == "y4m"
+        p = mm.y4m_params(b)
+        assert (p["width"], p["height"], p["n_frames"]) == (w, h, nf)
+        assert (p["fps_num"], p["fps_den"], p["colorspace"]) == (25, 1, "mono")
+        p2, luma = mm.decode_y4m(b)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for f in range(nf):
+            assert np.array_equal(luma[f], mm.y4m_frame_value(seed, f, yy, xx))
+        # sampled decode == full decode strided
+        _, s3 = mm.decode_y4m(b, every_n=3)
+        assert np.array_equal(s3, luma[::3])
+    # 420 colorspace: luma plane first, chroma skipped by stride
+    hdr = b"YUV4MPEG2 W8 H4 F30000:1001 Ip A1:1 C420jpeg\n"
+    frames = []
+    for f in range(3):
+        y = ((np.arange(32) + f) % 256).astype(np.uint8)
+        frames.append(b"FRAME\n" + y.tobytes() + bytes(16))
+    b420 = hdr + b"".join(frames)
+    p, luma = mm.decode_y4m(b420)
+    assert (p["n_frames"], p["fps_num"], p["colorspace"]) == (3, 30000, "420jpeg")
+    assert np.array_equal(luma[2].ravel(), (np.arange(32) + 2) % 256)
+    # metadata path picks up video dims
+    vids = mm.synthesize_video_containers(spark, 12)
+    meta = mm.with_media_metadata(vids).select("media_id", "media_meta.*").collect()
+    for r in meta:
+        assert r["format"] == "y4m"
+        assert r["width"] == r["media_id"] % 24 + 4
+        assert r["height"] == r["media_id"] % 12 + 2
+    # frame sampling == full-decode recomputation
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["luma_sum"], r["width"], r["height"])
+        for r in mm.frame_sample_stats(vids, every_n=4).collect()
+    }
+    want = {}
+    for i in range(12):
+        b = mm.make_y4m(i % 24 + 4, i % 12 + 2, i % 16 + 3, seed=i)
+        _, luma = mm.decode_y4m(b)
+        for f in range(0, luma.shape[0], 4):
+            want[(i, f)] = (
+                int(luma[f].sum(dtype=np.int64)),
+                luma.shape[2],
+                luma.shape[1],
+            )
+    assert got == want
+    # real-decoder feature extraction now covers video
+    feats = mm.extract_features(vids, decoder="real").collect()
+    assert len(feats) == 12
+    assert all(len(r["features"]) == mm.FEATURE_DIM for r in feats)
+    # loud failure for non-y4m bytes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.decode_y4m(b"RIFF not a y4m stream")
