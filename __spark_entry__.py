@@ -936,6 +936,44 @@ def _q_y4m_frame_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("media_id", "frame_idx")
 
 
+def _q_zonemap_pruned_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-backed file pruning end-to-end (round 5, hllspark/zonemap.py):
+    write events range-partitioned by user_id with per-file min/max +
+    Bloom sidecars, then answer a needle IN-predicate by reading ONLY the
+    files the zone maps cannot rule out.  Bloom's no-false-negative
+    guarantee plus the residual filter makes the pruned read row-identical
+    to a full scan's filter — the oracle is that full-scan SQL on the
+    original table, so a single wrongly-pruned file breaks the value hash.
+    File-skipping effectiveness (kept < total) is pytest-gated
+    (tests/test_zonemap.py); this query gates soundness."""
+    import hashlib
+    import shutil
+
+    from hllspark import zonemap as zm
+
+    ev = _t(spark, sf, "events")
+    path = "/tmp/hllspark_zm_" + hashlib.sha1(sf.encode()).hexdigest()[:10]
+    shutil.rmtree(path, ignore_errors=True)
+    zm.write_with_zonemaps(
+        ev.repartitionByRange(16, "user_id"),
+        path,
+        ["user_id"],
+        expected_keys_per_file=20000,
+        fpp=0.01,
+    )
+    probe = [3, 7, 11, 140, 9999]  # present x3 / sf0.01-only / absent
+    out = zm.read_pruned(spark, path, "user_id", probe)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_uid"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_warc_read_stats(spark: SparkSession, sf: str) -> DataFrame:
     """WARC ingest end-to-end (round 5, hllspark/warc.py): synthesize
     deterministic WARC files (record i is a closed-form function of i;
@@ -2882,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": _q_png_decode_stats,
         "jpeg_decode_stats": _q_jpeg_decode_stats,
         "y4m_frame_sample_stats": _q_y4m_frame_sample_stats,
+        "zonemap_pruned_users": _q_zonemap_pruned_users,
         "warc_read_stats": _q_warc_read_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
@@ -4038,6 +4077,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(h AS INT) AS height, CAST(sum(v) AS BIGINT) AS pixel_sum, "
             "avg(v) AS pixel_mean "
             "FROM px GROUP BY 1, 2, 3 ORDER BY media_id"
+        ),
+        "zonemap_pruned_users": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_uid, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events WHERE user_id IN (3, 7, 11, 140, 9999) "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "y4m_frame_sample_stats": (
             "WITH vids AS (SELECT r.range AS id, "

@@ -376,6 +376,27 @@ def main() -> int:
         committed = writer.read_committed(spark)
         assert committed.count() == daily.count()
 
+    # 6. zone-mapped serving copy: the curated corpus written with
+    # per-file min/max + Bloom sidecars, so "this url's docs" needle
+    # queries read only the files the zone maps cannot rule out
+    from hllspark import zonemap as hzm
+
+    with tempfile.TemporaryDirectory() as tmp:
+        serving = os.path.join(tmp, "serving")
+        hzm.write_with_zonemaps(
+            kept.repartitionByRange(8, "url"),
+            serving,
+            ["url"],
+            expected_keys_per_file=5000,
+        )
+        needle = kept.first()["url"]
+        zm_files, zm_total = hzm.pruned_files(spark, serving, "url", [needle])
+        got = hzm.read_pruned(spark, serving, "url", [needle]).count()
+        want = (
+            spark.read.parquet(serving).where(F.col("url") == needle).count()
+        )
+        assert got == want and 0 < len(zm_files) < zm_total
+
     summary = {
         "rows": n_rows,
         "kept_after_quality": kept.count(),
@@ -406,6 +427,7 @@ def main() -> int:
         "bpe_tokens_sample": int(bpe_tokens),
         "tfidf_semantic_kept": int(n_sem_kept),
         "tfidf_semantic_in": int(n_sem_in),
+        "zonemap_files_read": f"{len(zm_files)}/{zm_total}",
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(summary, default=str))
