@@ -1233,10 +1233,16 @@ def test_y4m_video_codec(spark):
         assert r["format"] == "y4m"
         assert r["width"] == r["media_id"] % 24 + 4
         assert r["height"] == r["media_id"] % 12 + 2
-    # frame sampling == full-decode recomputation
+    # frame sampling == full-decode recomputation; zero-copy arrow impl
+    # and the pandas impl are value-identical
+    arrow_rows = sorted(mm.frame_sample_stats(vids, every_n=4).collect())
+    pandas_rows = sorted(
+        mm.frame_sample_stats(vids, every_n=4, impl="pandas").collect()
+    )
+    assert arrow_rows == pandas_rows
     got = {
         (r["media_id"], r["frame_idx"]): (r["luma_sum"], r["width"], r["height"])
-        for r in mm.frame_sample_stats(vids, every_n=4).collect()
+        for r in arrow_rows
     }
     want = {}
     for i in range(12):

@@ -10,6 +10,16 @@ header-token parse + FRAME-marker walk (O(1) per frame header) ->
 every-6th luma plane sliced and reduced.  Each video decodes
 independently and the only shuffle is the final 1-row agg, so the op
 should scale like the scan; this probe evidences that.
+
+LEVELS is (4, 16) — the same 4x factor as the other probes' (8, 32) —
+because payload-heavy Python stages keep TWO threads busy per task (the
+JVM Arrow serializer and the Python worker), so 32 concurrent tasks on
+this 32-vCPU VM means 64 runnable threads and the host's scheduler
+falls off a cliff (measured: local[16] 1.1-1.7 s stable, local[32]
+16-48 s with 2x spread — full matrix in PLANS §53).  4 -> 16 measures
+the same scaling factor below that oversubscription knee; on a real
+cluster the equivalent guidance is executor cores x python pipes <=
+node vCPUs (or spark.task.cpus=2 for these stages).
 """
 
 from __future__ import annotations
@@ -28,9 +38,9 @@ N_VIDEOS = int(os.environ.get("HLLSPARK_Y4M_VIDEOS", "4000"))
 EVERY_N = 6
 W, H, NF = 128, 72, 36
 FIXTURE = os.path.join(REPO, ".bench_data", f"y4m_{N_VIDEOS}")
-REPS = int(os.environ.get("HLLSPARK_Y4M_REPS", "3"))
+REPS = int(os.environ.get("HLLSPARK_Y4M_REPS", "5"))
 CEILING_ROWS = 8_000_000_000
-LEVELS = (8, 32)
+LEVELS = (4, 16)
 SAMPLED_FRAMES = N_VIDEOS * ((NF + EVERY_N - 1) // EVERY_N)
 
 
@@ -46,6 +56,13 @@ def _worker(cpus: int) -> None:
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # payload-heavy Arrow: at ~331 KB/video, default 10k-row batches
+        # would be ~3 GB — bound batches to ~5 MB and split the scan into
+        # ~16 MB input partitions so BOTH levels have even, small tasks
+        # (first probe version measured local[32] SLOWER than local[8]
+        # purely from 24 oversized partitions + giant Arrow batches)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -151,7 +168,10 @@ def main() -> None:
         )
 
     report = {
-        "metric": "y4m_frame_sample N->4N scaling (local[8] vs local[32])",
+        "metric": (
+            f"y4m_frame_sample N->4N scaling (local[{lo}] vs local[{hi}], "
+            "below the 2-threads-per-task oversubscription knee)"
+        ),
         "n_videos": N_VIDEOS,
         "sampled_frames": SAMPLED_FRAMES,
         "levels": levels,
