@@ -974,6 +974,38 @@ def _q_zonemap_pruned_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_zonemap_range_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-predicate file pruning (round 5, zonemap.read_pruned_range):
+    min/max-only sidecar pruning of a BETWEEN scan over the range-
+    partitioned events copy written by _q_zonemap_pruned_users' layout
+    (rebuilt here under its own path).  min/max pruning is exact, so the
+    pruned read is row-identical to the full-scan BETWEEN filter — the
+    oracle is that SQL on the original table."""
+    import hashlib
+    import shutil
+
+    from hllspark import zonemap as zm
+
+    ev = _t(spark, sf, "events")
+    path = "/tmp/hllspark_zmr_" + hashlib.sha1(sf.encode()).hexdigest()[:10]
+    shutil.rmtree(path, ignore_errors=True)
+    zm.write_with_zonemaps(
+        ev.repartitionByRange(16, "user_id"),
+        path,
+        ["user_id"],
+        expected_keys_per_file=20000,
+    )
+    out = zm.read_pruned_range(spark, path, "user_id", 4, 9)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_uid"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_warc_read_stats(spark: SparkSession, sf: str) -> DataFrame:
     """WARC ingest end-to-end (round 5, hllspark/warc.py): synthesize
     deterministic WARC files (record i is a closed-form function of i;
@@ -2921,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_stats": _q_jpeg_decode_stats,
         "y4m_frame_sample_stats": _q_y4m_frame_sample_stats,
         "zonemap_pruned_users": _q_zonemap_pruned_users,
+        "zonemap_range_read": _q_zonemap_range_read,
         "warc_read_stats": _q_warc_read_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
@@ -4083,6 +4116,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(user_id) AS BIGINT) AS sum_uid, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events WHERE user_id IN (3, 7, 11, 140, 9999) "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "zonemap_range_read": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_uid "
+            "FROM events WHERE user_id BETWEEN 4 AND 9 "
             "GROUP BY event_type ORDER BY event_type"
         ),
         "y4m_frame_sample_stats": (

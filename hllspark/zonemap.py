@@ -155,3 +155,37 @@ def read_pruned(
         # only the everything-pruned case pays a full-table schema fetch
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(F.col(col).isin(values))
+
+
+def pruned_files_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """(surviving files, total) for a BETWEEN predicate — min/max-only
+    pruning (a Bloom cannot answer range questions); effective exactly
+    when the physical layout correlates with the key, e.g. a
+    repartitionByRange'd or ingest-time-ordered table."""
+    import pyarrow.dataset as pads
+
+    side = (
+        pads.dataset(os.path.join(_zonemap_root(path), f"col={col}"))
+        .to_table(columns=["file", "vmin", "vmax"])
+        .to_pylist()
+    )
+    keep = [
+        r["file"]
+        for r in side
+        if r["vmin"] is not None and r["vmax"] >= lo and r["vmin"] <= hi
+    ]
+    return keep, len(side)
+
+
+def read_pruned_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame:
+    """Rows where ``lo <= col <= hi``, reading only files whose
+    [vmin, vmax] intersects the range.  Row-identical to the full
+    scan's BETWEEN filter (min/max pruning is exact)."""
+    files, _total = pruned_files_range(spark, path, col, lo, hi)
+    if not files:
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(col).between(lo, hi))

@@ -110,3 +110,29 @@ def test_zonemap_all_null_file_skipped(spark):
     zm.write_with_zonemaps(layout, path, ["maybe"], expected_keys_per_file=100)
     got = zm.read_pruned(spark, path, "maybe", [7]).collect()
     assert len(got) == 1 and got[0]["id"] == 7
+
+
+def test_zonemap_range_pruning(spark, events):
+    path = "/tmp/hllspark_test_zm_range"
+    shutil.rmtree(path, ignore_errors=True)
+    zm.write_with_zonemaps(
+        events.repartitionByRange(8, "user_id"), path, ["user_id"],
+        expected_keys_per_file=5000,
+    )
+    lo, hi = 3, 6
+    files, total = zm.pruned_files_range(spark, path, "user_id", lo, hi)
+    assert total == 8 and 0 < len(files) < total
+    got = sorted(zm.read_pruned_range(spark, path, "user_id", lo, hi).collect())
+    want = sorted(
+        spark.read.parquet(path)
+        .where(F.col("user_id").between(lo, hi))
+        .collect()
+    )
+    assert got == want
+    # empty range prunes everything
+    f2, _ = zm.pruned_files_range(spark, path, "user_id", 10**9, 2 * 10**9)
+    assert f2 == []
+    assert (
+        zm.read_pruned_range(spark, path, "user_id", 10**9, 2 * 10**9).count()
+        == 0
+    )
