@@ -974,6 +974,30 @@ def _q_zonemap_pruned_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_snapshot_delta_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl snapshot diffing (round 5, crawl.snapshot_delta): old = docs
+    0..299, new = docs 100..399 with every 7th text rewritten — so
+    0..99 are removed, 300..399 added, 100..299 changed iff id%7==0,
+    unchanged otherwise (excluded).  The operator computes this via
+    thin (key, xxhash64 fingerprint) projections + ONE full-outer join;
+    the oracle states the classification from the construction."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") < 300).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("k"),
+        "text",
+    )
+    new = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 400)).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("k"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    from hllspark import crawl
+
+    out = crawl.snapshot_delta(old, new, key_col="k")
+    return out.select("k", "status").orderBy("k")
+
+
 def _q_zonemap_range_read(spark: SparkSession, sf: str) -> DataFrame:
     """Range-predicate file pruning (round 5, zonemap.read_pruned_range):
     min/max-only sidecar pruning of a BETWEEN scan over the range-
@@ -2954,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "y4m_frame_sample_stats": _q_y4m_frame_sample_stats,
         "zonemap_pruned_users": _q_zonemap_pruned_users,
         "zonemap_range_read": _q_zonemap_range_read,
+        "snapshot_delta_pages": _q_snapshot_delta_pages,
         "warc_read_stats": _q_warc_read_stats,
         "misra_gries_exact_when_k_covers": _q_misra_gries_exact_when_k_covers,
         "mg_grouped_exact": _q_mg_grouped_exact,
@@ -4123,6 +4148,16 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(user_id) AS BIGINT) AS sum_uid "
             "FROM events WHERE user_id BETWEEN 4 AND 9 "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "snapshot_delta_pages": (
+            "SELECT 'u' || CAST(doc_id AS VARCHAR) AS k, "
+            "CASE WHEN doc_id < 100 THEN 'removed' "
+            "     WHEN doc_id >= 300 THEN 'added' "
+            "     ELSE 'changed' END AS status "
+            "FROM documents "
+            "WHERE doc_id < 400 AND "
+            "  (doc_id < 100 OR doc_id >= 300 OR doc_id % 7 = 0) "
+            "ORDER BY k"
         ),
         "y4m_frame_sample_stats": (
             "WITH vids AS (SELECT r.range AS id, "

@@ -33,6 +33,7 @@ pages -> downstream curation.
 from __future__ import annotations
 
 import os
+from typing import Sequence
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -499,3 +500,62 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    fingerprint_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify pages between two crawl snapshots: ``added`` (key only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (both, but the
+    content fingerprint differs), ``unchanged`` (both, identical —
+    excluded by default since it is usually the overwhelming bulk).
+
+    This is the incremental-processing primitive for a recurring crawl:
+    downstream curation/dedup/index work re-runs ONLY on the
+    added+changed slice instead of the full 100 TB snapshot, and the
+    removed slice drives index tombstones.
+
+    Plan shape: each side reduces to (key, fingerprint) — the
+    fingerprint is ``xxhash64`` over ``fingerprint_cols`` (default: all
+    shared non-key columns), computed BEFORE the join so only two thin
+    columns shuffle, never page bodies — then ONE full-outer
+    sort-merge/hash join on the key.  If both snapshots were written
+    with :func:`hllspark.io.write_bucketed` on the key, the join runs
+    with zero Exchange (the pay-the-shuffle-once shape); the output
+    carries (key, status) plus both fingerprints for audit.
+    """
+    if fingerprint_cols is None:
+        shared = [
+            f for f in old.columns if f in set(new.columns) and f != key_col
+        ]
+        if not shared:
+            raise ValueError("no shared non-key columns to fingerprint")
+        fingerprint_cols = shared
+    o = old.select(
+        F.col(key_col),
+        F.xxhash64(*[F.col(c) for c in fingerprint_cols]).alias("__fp_old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.xxhash64(*[F.col(c) for c in fingerprint_cols]).alias("__fp_new"),
+    )
+    j = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        key_col,
+        status.alias("status"),
+        F.col("__fp_old").alias("fp_old"),
+        F.col("__fp_new").alias("fp_new"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out

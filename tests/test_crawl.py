@@ -325,3 +325,52 @@ def test_politeness_waves_host_col_passthrough(spark):
     out = politeness_waves(df, per_wave=1, host_col="host").collect()
     assert {r["host"] for r in out} == {"groupX"}
     assert sorted(r["wave"] for r in out) == [0, 1]  # same group -> 2 waves
+
+
+def test_snapshot_delta(spark):
+    """crawl.snapshot_delta: added/removed/changed/unchanged taxonomy,
+    default fingerprint inference over shared non-key columns, and the
+    include_unchanged switch."""
+    import pyspark.sql.functions as F
+
+    from hllspark import crawl
+
+    old = spark.createDataFrame(
+        [("a", "t1", 1), ("b", "t2", 2), ("c", "t3", 3)],
+        "k string, text string, extra int",
+    )
+    new = spark.createDataFrame(
+        [("b", "t2", 2), ("c", "t3-edited", 3), ("d", "t4", 4)],
+        "k string, text string, extra int",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in crawl.snapshot_delta(old, new, key_col="k").collect()
+    }
+    assert got == {"a": "removed", "c": "changed", "d": "added"}
+    # unchanged included on demand, with matching fingerprints
+    rows = {
+        r["k"]: r
+        for r in crawl.snapshot_delta(
+            old, new, key_col="k", include_unchanged=True
+        ).collect()
+    }
+    assert rows["b"]["status"] == "unchanged"
+    assert rows["b"]["fp_old"] == rows["b"]["fp_new"]
+    assert rows["c"]["fp_old"] != rows["c"]["fp_new"]
+    # restricting the fingerprint to a column that did NOT change makes
+    # 'c' unchanged (drops out of the default output)
+    got2 = {
+        r["k"]: r["status"]
+        for r in crawl.snapshot_delta(
+            old, new, key_col="k", fingerprint_cols=["extra"]
+        ).collect()
+    }
+    assert got2 == {"a": "removed", "d": "added"}
+    # no shared non-key columns -> loud failure
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        crawl.snapshot_delta(
+            old.select("k"), new.select("k"), key_col="k"
+        )
