@@ -551,6 +551,24 @@ def main() -> None:
         .where(F.col("url").isin(zm_probe_urls))
         .agg(F.count(F.lit(1)), F.sum(F.length("text")))
         .collect(),
+        # crawl snapshot diff (round 5): old = all 2M pages, new = 90%
+        # kept (10% removed / 10% of kept rewritten / none added) — the
+        # recurring-crawl delta; only (url, xxhash64) pairs shuffle into
+        # one full-outer join, bodies never move
+        "q31_snapshot_delta_2m": lambda: hcrawl.snapshot_delta(
+            pages.select("url", "text"),
+            pages.where(F.pmod(F.xxhash64("url"), F.lit(10)) != 0).select(
+                "url",
+                F.when(
+                    F.pmod(F.xxhash64("url"), F.lit(10)) == 1,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")).alias("text"),
+            ),
+            key_col="url",
+        )
+        .groupBy("status")
+        .count()
+        .collect(),
         # hashed TF-IDF vectorization (text -> embedding bridge): full
         # tf/idf/dense-assembly over the 100k slice at dim=256; the max
         # over per-doc squared norms forces every vector to materialize
@@ -667,6 +685,9 @@ def main() -> None:
         ),
         "zonemap_prune_speedup": round(
             results["q30b_fullscan_needle"] / results["q30_zonemap_needle"], 2
+        ),
+        "snapshot_delta_rows_per_sec": round(
+            2_000_000 / results["q31_snapshot_delta_2m"]
         ),
         "grouped_100k_strkeys_rows_per_sec": round(
             SYNTH_ROWS / results["q10_synth_100k_strkeys"]
