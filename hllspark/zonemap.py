@@ -99,8 +99,16 @@ def write_with_zonemaps(
     mode: str = "overwrite",
     **zonemap_kwargs,
 ) -> dict:
-    """Write the table, then build its zone-map sidecar."""
+    """Write the table, then build its zone-map sidecar.  With
+    ``mode='append'`` onto an already-zone-mapped table, only the newly
+    written files get sidecar rows (append_zonemaps) — the existing
+    corpus is not rescanned."""
+    existing = mode == "append" and os.path.exists(
+        os.path.join(_zonemap_root(path), _META)
+    )
     df.write.mode(mode).parquet(path)
+    if existing:
+        return append_zonemaps(df.sparkSession, path, key_cols)
     return build_zonemaps(df.sparkSession, path, key_cols, **zonemap_kwargs)
 
 
@@ -189,3 +197,61 @@ def read_pruned_range(
     if not files:
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(F.col(col).between(lo, hi))
+
+
+def _norm_uri(uri: str) -> str:
+    """Canonical form for file-identity comparison: Spark's
+    ``inputFiles()`` says ``file:///x`` while ``_metadata.file_path``
+    says ``file:/x`` — same file, different URI spellings."""
+    if uri.startswith("file:"):
+        return "/" + uri[5:].lstrip("/")
+    return uri
+
+
+def append_zonemaps(
+    spark: SparkSession, path: str, key_cols: list[str] | None = None
+) -> dict:
+    """Incremental sidecar build: add zone-map rows ONLY for data files
+    not yet covered (e.g. after ``df.write.mode('append')``).  The
+    file-set diff makes the operation idempotent — a crashed append
+    leaves some files uncovered (Spark's job commit keeps torn output
+    under ``_temporary``, which the pyarrow sidecar reader ignores by
+    prefix) and re-running covers exactly the remainder.  Bloom
+    parameters come from the existing ``_meta.json`` so appended rows
+    are probe-compatible with the original build.  Single-writer, like
+    build_zonemaps."""
+    meta = zonemap_meta(path)
+    key_cols = list(key_cols or meta["cols"])
+    kind = bloom.kind(m_bits=meta["m_bits"], k=meta["k"])
+    import pyarrow.dataset as pads
+
+    all_files = {_norm_uri(f): f for f in spark.read.parquet(path).inputFiles()}
+    root = _zonemap_root(path)
+    for col in key_cols:
+        side_dir = os.path.join(root, f"col={col}")
+        covered = {
+            _norm_uri(f)
+            for f in pads.dataset(side_dir)
+            .to_table(columns=["file"])
+            .column("file")
+            .to_pylist()
+        }
+        new_files = sorted(
+            orig for norm, orig in all_files.items() if norm not in covered
+        )
+        if not new_files:
+            continue
+        data = spark.read.parquet(*new_files).select(
+            F.col("_metadata.file_path").alias("__file"), col
+        )
+        stats = data.groupBy("__file").agg(
+            F.min(col).alias("vmin"),
+            F.max(col).alias("vmax"),
+            F.count(col).alias("n"),
+        )
+        blooms = sketch_agg(data, col, kind, keys=["__file"])
+        side = stats.join(blooms, "__file").select(
+            F.col("__file").alias("file"), "vmin", "vmax", "n", "sketch"
+        )
+        side.coalesce(1).write.mode("append").parquet(side_dir)
+    return meta

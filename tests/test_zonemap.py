@@ -136,3 +136,37 @@ def test_zonemap_range_pruning(spark, events):
         zm.read_pruned_range(spark, path, "user_id", 10**9, 2 * 10**9).count()
         == 0
     )
+
+
+def test_zonemap_incremental_append(spark, events):
+    """append mode builds sidecar rows ONLY for new files, appended rows
+    are probe-compatible, and the result equals a from-scratch rebuild."""
+    path = "/tmp/hllspark_test_zm_append"
+    shutil.rmtree(path, ignore_errors=True)
+    first = events.where(F.col("user_id") < 8)
+    second = events.where(F.col("user_id") >= 8)
+    zm.write_with_zonemaps(
+        first.repartition(4), path, ["user_id"], expected_keys_per_file=5000
+    )
+    _, total1 = zm.pruned_files(spark, path, "user_id", [0])
+    assert total1 == 4
+    # append: only the 4 new files are scanned for sidecar rows
+    zm.write_with_zonemaps(
+        second.repartition(4), path, ["user_id"], mode="append"
+    )
+    _, total2 = zm.pruned_files(spark, path, "user_id", [0])
+    assert total2 == 8
+    # probes against keys from BOTH batches stay row-identical to a scan
+    for probe in ([2], [11], [2, 11, 999]):
+        got = sorted(zm.read_pruned(spark, path, "user_id", probe).collect())
+        want = sorted(
+            spark.read.parquet(path).where(F.col("user_id").isin(probe)).collect()
+        )
+        assert got == want
+    # idempotent: re-running append with no new files adds nothing
+    zm.append_zonemaps(spark, path)
+    _, total3 = zm.pruned_files(spark, path, "user_id", [0])
+    assert total3 == 8
+    # a second-batch-only key prunes to second-batch files
+    files, total = zm.pruned_files(spark, path, "user_id", [11])
+    assert 0 < len(files) <= 4
