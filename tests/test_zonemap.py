@@ -170,3 +170,48 @@ def test_zonemap_incremental_append(spark, events):
     # a second-batch-only key prunes to second-batch files
     files, total = zm.pruned_files(spark, path, "user_id", [11])
     assert 0 < len(files) <= 4
+
+
+def test_zonemap_streaming_ingest(spark, tmp_path):
+    """Zone maps maintained AT INGEST: a foreachBatch sink that appends
+    the batch to the table and covers the new files with
+    write_with_zonemaps(mode='append').  Three streamed micro-batches
+    must yield a sidecar equivalent to a one-shot batch build — the
+    probe answers are row-identical and every file is covered."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(3000).select(
+        (F.col("id") % 700).alias("user_id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+    # three source files -> maxFilesPerTrigger=1 gives three micro-batches
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    def sink(batch_df, batch_id):
+        zm.write_with_zonemaps(
+            batch_df.repartition(2), table, ["user_id"], mode="append",
+            expected_keys_per_file=2000,
+        )
+
+    q = (
+        spark.readStream.schema("user_id bigint, grp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # every data file is sidecar-covered
+    covered_files, total = zm.pruned_files(spark, table, "user_id", [0])
+    assert total == len(spark.read.parquet(table).inputFiles())
+    # probes row-identical to full-scan filters, across batch boundaries
+    for probe in ([5], [699], [5, 123, 699, 10**6]):
+        got = sorted(zm.read_pruned(spark, table, "user_id", probe).collect())
+        want = sorted(
+            spark.read.parquet(table).where(F.col("user_id").isin(probe)).collect()
+        )
+        assert got == want
