@@ -517,7 +517,9 @@ def snapshot_delta(
     This is the incremental-processing primitive for a recurring crawl:
     downstream curation/dedup/index work re-runs ONLY on the
     added+changed slice instead of the full 100 TB snapshot, and the
-    removed slice drives index tombstones.
+    removed slice drives index tombstones.  Keys are assumed unique per
+    snapshot (run exact dedup / canonical_url first) — duplicate keys
+    would multiply through the full-outer join.
 
     Plan shape: each side reduces to (key, fingerprint) — the
     fingerprint is ``xxhash64`` over ``fingerprint_cols`` (default: all
